@@ -1,0 +1,259 @@
+"""Vectorized geometry kernel (pure numpy, exact int64 arithmetic).
+
+These functions reproduce the reference engine's geometry semantics exactly
+and are the single implementation used by BOTH the distributed engine
+(inside Arrow-batched pandas UDFs) and the pytest oracle:
+
+* point-locate (-1 outside / 0 boundary / 1 inside) with the reference's
+  crossing-parity rules — a ray cast east; crossings counted with the
+  half-open upward-edge rule, points on any segment are "boundary"
+  (reference: src/geom/index/MCIndex.cpp:59-119 countCrossings,
+  include/geodesk/geom/polygon/PointInPolygon.h:39-72). The per-edge
+  half-open formulation here is equivalent to the reference's
+  monotone-chain counting: chain-end vertices are skipped there precisely
+  so every polygon vertex is counted once, which the half-open rule
+  ``low_y <= py < high_y`` guarantees edge-by-edge.
+* segment orientation with the collinear on-segment refinement
+  (src/geom/LineSegment.cpp:17-36) and segment-pair intersection
+  (LineSegment.cpp:43-53).
+* point-segment squared distance (src/geom/Distance.cpp:8-37).
+* shoelace area in Mercator units² and meters² (include/geodesk/geom/Area.h:56-73,27-32).
+* areal / lineal / puntal centroid (include/geodesk/geom/Centroid.h:25-112).
+
+All integer inputs are int32 Mercator coordinates. Exactness contract: the
+caller must keep |coordinate deltas| < 2^30 (regional geometries — enforced
+by the zone preparation step), so every cross/dot product fits int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libgeodesk_spark.mercator import meters_per_unit_at_y, round_half_away
+
+OUTSIDE = -1
+BOUNDARY = 0
+INSIDE = 1
+
+
+def _as_i64(*arrays):
+    return tuple(np.asarray(a, dtype=np.int64) for a in arrays)
+
+
+# ---------------------------------------------------------------------------
+# point location vs polygon edge set (even-odd parity over ALL rings:
+# outer + holes; orientation-agnostic, identical to the reference's
+# crossing count over every member way)
+# ---------------------------------------------------------------------------
+
+def locate_points(px, py, edges) -> np.ndarray:
+    """Locate N points against a polygon given as an (M,4) int array of
+    edges ``[ax, ay, bx, by]`` (all rings concatenated, closing edges
+    included, degenerate zero-length edges allowed).
+
+    Returns int8 array: -1 outside, 0 on boundary, 1 inside.
+    """
+    px, py = _as_i64(px, py)
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 4)
+    crossings = np.zeros(px.shape, dtype=np.int64)
+    boundary = np.zeros(px.shape, dtype=bool)
+
+    for ax, ay, bx, by in e:
+        exl, exh = (ax, bx) if ax <= bx else (bx, ax)
+        eyl, eyh = (ay, by) if ay <= by else (by, ay)
+        if ax == bx and ay == by:
+            boundary |= (px == ax) & (py == ay)
+            continue
+        # --- boundary: collinear and inside the edge bbox
+        in_bbox = (px >= exl) & (px <= exh) & (py >= eyl) & (py <= eyh)
+        if in_bbox.any():
+            # deltas bounded by the edge bbox -> int64-exact
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            boundary |= in_bbox & (cross == 0)
+        # --- crossings: skip horizontal edges; half-open [low_y, high_y)
+        if ay == by:
+            continue
+        if ay < by:
+            lx, ly, hx, hy = ax, ay, bx, by
+        else:
+            lx, ly, hx, hy = bx, by, ax, ay
+        in_y = (py >= ly) & (py < hy)
+        if not in_y.any():
+            continue
+        west = px < exl          # strictly west of the edge bbox: counts
+        mid = in_y & ~west & (px <= exh)
+        if mid.any():
+            cross_up = (hx - lx) * (py - ly) - (hy - ly) * (px - lx)
+            crossings += in_y & (west | (mid & (cross_up > 0)))
+        else:
+            crossings += in_y & west
+
+    loc = np.where(crossings & 1, INSIDE, OUTSIDE).astype(np.int8)
+    loc[boundary] = BOUNDARY
+    return loc
+
+
+def properly_contains(px, py, edges) -> np.ndarray:
+    """Strict interior test (reference MCIndex::properlyContainsPoint,
+    src/geom/index/MCIndex.cpp:24-38). Node-within semantics
+    (WithinFilter.cpp:60-63)."""
+    return locate_points(px, py, edges) == INSIDE
+
+
+def contains_points(px, py, edges) -> np.ndarray:
+    """Boundary-or-inside (reference ContainsPointFilter for areas,
+    src/filter/ContainsPointFilter.cpp:11-25)."""
+    return locate_points(px, py, edges) >= BOUNDARY
+
+
+# ---------------------------------------------------------------------------
+# segment orientation / intersection (reference LineSegment.cpp)
+# ---------------------------------------------------------------------------
+
+def orientation(x1, y1, x2, y2, px, py) -> np.ndarray:
+    """-1 point clockwise of segment, +1 counter-clockwise, 0 on segment.
+
+    Vectorized; follows src/geom/LineSegment.cpp:17-36 including the
+    collinear refinement that maps "on the infinite line but within the
+    segment extent" to 0.
+    """
+    x1, y1, x2, y2, px, py = _as_i64(x1, y1, x2, y2, px, py)
+    dx, dy = x2 - x1, y2 - y1
+    qx, qy = px - x1, py - y1
+    ccw = qx * dy - qy * dx
+    col = ccw == 0
+    if col.any():
+        d1 = qx * dx + qy * dy
+        beyond = (qx - dx) * dx + (qy - dy) * dy
+        refined = np.where(d1 > 0, np.where(beyond < 0, 0, beyond), d1)
+        ccw = np.where(col, refined, ccw)
+    return np.sign(ccw).astype(np.int8)
+
+
+def segments_intersect(x1, y1, x2, y2, x3, y3, x4, y4) -> np.ndarray:
+    """Pairwise segment intersection test (LineSegment.cpp:43-53)."""
+    o1 = orientation(x1, y1, x2, y2, x3, y3).astype(np.int32)
+    o2 = orientation(x1, y1, x2, y2, x4, y4).astype(np.int32)
+    o3 = orientation(x3, y3, x4, y4, x1, y1).astype(np.int32)
+    o4 = orientation(x3, y3, x4, y4, x2, y2).astype(np.int32)
+    return (o1 * o2 <= 0) & (o3 * o4 <= 0)
+
+
+def any_segment_crosses(px1, py1, px2, py2, edges) -> np.ndarray:
+    """For N candidate segments, test intersection against ANY polygon edge
+    (reference CrossesFilter via MCIndex::intersects,
+    src/filter/CrossesFilter.cpp:10-41)."""
+    px1, py1, px2, py2 = _as_i64(px1, py1, px2, py2)
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 4)
+    out = np.zeros(px1.shape, dtype=bool)
+    for ax, ay, bx, by in e:
+        todo = ~out
+        if not todo.any():
+            break
+        out[todo] |= segments_intersect(
+            px1[todo], py1[todo], px2[todo], py2[todo], ax, ay, bx, by)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distance (reference Distance.cpp:8-37; float64 like the reference)
+# ---------------------------------------------------------------------------
+
+def point_segment_sq_dist(x1, y1, x2, y2, px, py) -> np.ndarray:
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    dx = np.asarray(x2, dtype=np.float64) - x1
+    dy = np.asarray(y2, dtype=np.float64) - y1
+    qx = np.asarray(px, dtype=np.float64) - x1
+    qy = np.asarray(py, dtype=np.float64) - y1
+    dot1 = qx * dx + qy * dy
+    rx = dx - qx           # reference reassigns px,py = d - q when dot1 > 0
+    ry = dy - qy
+    dot2 = rx * dx + ry * dy
+    seg_len_sq = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        proj = np.where((dot1 > 0) & (dot2 > 0) & (seg_len_sq > 0),
+                        dot2 * dot2 / seg_len_sq, 0.0)
+    base = np.where(dot1 <= 0, qx * qx + qy * qy, rx * rx + ry * ry)
+    return np.maximum(base - proj, 0.0)
+
+
+def point_point_sq_dist(x1, y1, x2, y2) -> np.ndarray:
+    """Exact integer squared distance in Mercator units (int64; caller
+    bounds deltas < 2^31)."""
+    x1, y1, x2, y2 = _as_i64(x1, y1, x2, y2)
+    dx, dy = x2 - x1, y2 - y1
+    return dx * dx + dy * dy
+
+
+# ---------------------------------------------------------------------------
+# area / length / centroid (reference Area.h, Length.cpp, Centroid.h)
+# ---------------------------------------------------------------------------
+
+def shoelace2(xs, ys) -> int:
+    """Twice the signed shoelace area of a closed ring (first==last vertex),
+    exact int64 — sign >0 for CCW rings. (Area.h:56-73 computes the same
+    value in float64 /2.)"""
+    xs, ys = _as_i64(xs, ys)
+    return int(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+
+
+def ring_area_m2(xs, ys) -> float:
+    """Unsigned area in m² using the reference's bbox-midpoint scale
+    (Area.h:27-32: metersPerUnitAtY(avg(minY,maxY))²)."""
+    ys_arr = np.asarray(ys, dtype=np.int64)
+    avg_y = (int(ys_arr.min()) + int(ys_arr.max())) // 2
+    s = meters_per_unit_at_y(float(avg_y))
+    return abs(shoelace2(xs, ys)) / 2.0 * s * s
+
+
+def way_length_m(xs, ys) -> float:
+    """Σ segment lengths, each scaled at the segment's mean y
+    (reference Length.cpp:11-24 metersBetween uses the Mercator scale)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    dx = np.diff(xs)
+    dy = np.diff(ys)
+    mid_y = (ys[:-1] + ys[1:]) / 2.0
+    mpu = np.array([meters_per_unit_at_y(y) for y in mid_y])
+    return float(np.sum(np.sqrt(dx * dx + dy * dy) * mpu))
+
+
+def areal_centroid(rings: list[tuple[np.ndarray, np.ndarray]],
+                   shells: list[bool] | None = None) -> tuple[int, int]:
+    """Ring-weighted centroid (Centroid.h:25-71). ``rings`` are closed
+    (first==last). Returns rounded int32 coordinates."""
+    area_sum = 0.0
+    cx = 0.0
+    cy = 0.0
+    for i, (xs, ys) in enumerate(rings):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        a = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+        ring_sum = float(np.sum(a))
+        rx = float(np.sum((xs[:-1] + xs[1:]) * a))
+        ry = float(np.sum((ys[:-1] + ys[1:]) * a))
+        is_shell = shells[i] if shells is not None else True
+        sign = 1.0 if (ring_sum >= 0 and is_shell) else -1.0
+        area_sum += ring_sum * sign
+        cx += rx * sign
+        cy += ry * sign
+    return (round_half_away(cx / (3.0 * area_sum)),
+            round_half_away(cy / (3.0 * area_sum)))
+
+
+def lineal_centroid(xs, ys) -> tuple[int, int]:
+    """Length-weighted centroid of a polyline (Centroid.h:73-92)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    seg_len = np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2)
+    total = float(np.sum(seg_len))
+    cx = float(np.sum((xs[:-1] + xs[1:]) * seg_len))
+    cy = float(np.sum((ys[:-1] + ys[1:]) * seg_len))
+    return (round_half_away(cx / (total * 2.0)), round_half_away(cy / (total * 2.0)))
+
+
+def puntal_centroid(xs, ys) -> tuple[int, int]:
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    return (round_half_away(float(np.mean(xs))), round_half_away(float(np.mean(ys))))

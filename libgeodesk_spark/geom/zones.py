@@ -1,0 +1,170 @@
+"""Zone (polygon build side) preparation and cell-cover classification.
+
+A *zone* is the analog of the reference's prepared filter geometry: a
+polygon (1 outer ring + holes) or multipolygon, segmentized and classified
+against the tile grid. The reference builds monotone chains packed in a
+Hilbert R-tree and asks ``acceptTile`` per tile (-1 reject / 0 full test /
+1 turbo-accept) — src/filter/WithinFilter.cpp:164-171,
+src/geom/index/MCIndex.cpp:193-207 ``locateBox``.
+
+The Spark-first analog computed here, once, driver-side:
+
+* ``edges``: an (M,4) int64 array of all ring edges (the "chain index" —
+  at our regional zone sizes a flat vectorized edge array beats a tree;
+  the R-tree's O(log n) matters for single-point probes, not for
+  Arrow-batch probes which amortize the scan across thousands of points),
+* ``cover``: {cell_id → INSIDE(1) | BOUNDARY(0)} at the index zoom.
+  INSIDE cells are "turbo" cells: every point in them is accepted with no
+  geometry test (WithinFilter.cpp:143-161 fast-accept). BOUNDARY cells run
+  the vectorized locate kernel. OUTSIDE cells are simply absent — this is
+  the partition-pruning set.
+
+Cell classification is exact: a cell is BOUNDARY iff some edge intersects
+the (closed) cell box — via the separating-line test — else its corner
+parity decides INSIDE/OUTSIDE (same result as the reference's
+``locateBox``: box-boundary intersection, corner locate, contained-chain
+check, MCIndex.cpp:193-207; an edge inside the box is caught by the
+bbox-overlap arm of the test).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from libgeodesk_spark.geom import kernel
+from libgeodesk_spark.mercator import (
+    MAX_ZOOM,
+    cell_bounds,
+    cell_from_col_row,
+    col_from_x,
+    row_from_y,
+)
+
+INSIDE = 1
+BOUNDARY = 0
+OUTSIDE = -1
+
+#: Exactness contract for int64 cross products (see kernel module docstring).
+MAX_ZONE_SPAN = 1 << 30
+
+
+@dataclass(frozen=True)
+class PreparedZone:
+    """Broadcastable prepared polygon: flat edge array + cell cover."""
+
+    zone_id: str
+    edges: np.ndarray                    # (M,4) int64 [ax, ay, bx, by]
+    bbox: tuple[int, int, int, int]      # min_x, min_y, max_x, max_y
+    zoom: int
+    cover: dict[int, int] = field(repr=False)  # cell_id -> INSIDE|BOUNDARY
+
+    def locate(self, px, py) -> np.ndarray:
+        return kernel.locate_points(px, py, self.edges)
+
+    @property
+    def inside_cells(self) -> list[int]:
+        return [c for c, v in self.cover.items() if v == INSIDE]
+
+    @property
+    def boundary_cells(self) -> list[int]:
+        return [c for c, v in self.cover.items() if v == BOUNDARY]
+
+
+def rings_to_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """Concatenate closed rings (each (k,2) int arrays, first==last vertex)
+    into a flat (M,4) edge array. Unclosed rings are closed implicitly,
+    mirroring the reference's ``duplicateFirst`` for area ways
+    (src/feature/WayCoordinateIterator.cpp:21-26)."""
+    chunks = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.int64).reshape(-1, 2)
+        if len(r) < 2:
+            continue
+        if r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]:
+            r = np.vstack([r, r[:1]])
+        chunks.append(np.hstack([r[:-1], r[1:]]))
+    if not chunks:
+        return np.zeros((0, 4), dtype=np.int64)
+    return np.vstack(chunks)
+
+
+def _segment_intersects_cells(ax, ay, bx, by, zoom) -> set[tuple[int, int]]:
+    """Exact set of (col,row) cells whose closed box the segment touches.
+
+    For each cell in the segment's bbox cover, the segment misses the box
+    iff all 4 box corners lie strictly on one side of the segment's line
+    (given the bbox already overlaps). Vectorized over candidate cells.
+    """
+    c0, c1 = sorted((int(col_from_x(ax, zoom)), int(col_from_x(bx, zoom))))
+    r0, r1 = sorted((int(row_from_y(ay, zoom)), int(row_from_y(by, zoom))))
+    cols = np.arange(c0, c1 + 1, dtype=np.int64)
+    rows = np.arange(r0, r1 + 1, dtype=np.int64)
+    cc, rr = np.meshgrid(cols, rows)
+    cc, rr = cc.ravel(), rr.ravel()
+    if len(cc) == 1:
+        return {(int(cc[0]), int(rr[0]))}
+    # cell boxes (inclusive coords)
+    ext = np.int64(1) << (32 - zoom)
+    min_x = (cc << (32 - zoom)) - (1 << 31)
+    max_y = np.int64(2**31 - 1) - (rr << (32 - zoom))
+    max_x = min_x + ext - 1
+    min_y = max_y - ext + 1
+    dx, dy = bx - ax, by - ay
+    # side of each corner relative to the segment line (int64-exact:
+    # deltas bounded by the segment bbox which is < MAX_ZONE_SPAN)
+    s1 = np.sign(dx * (min_y - ay) - dy * (min_x - ax))
+    s2 = np.sign(dx * (min_y - ay) - dy * (max_x - ax))
+    s3 = np.sign(dx * (max_y - ay) - dy * (min_x - ax))
+    s4 = np.sign(dx * (max_y - ay) - dy * (max_x - ax))
+    all_pos = (s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)
+    all_neg = (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+    # bbox overlap with the segment bbox (cells come from the bbox cover,
+    # but the cover is in cell units so it is already exact)
+    hit = ~(all_pos | all_neg)
+    return {(int(c), int(r)) for c, r in zip(cc[hit], rr[hit])}
+
+
+def prepare_zone(zone_id: str, rings: list[np.ndarray],
+                 zoom: int = MAX_ZOOM) -> PreparedZone:
+    """Segmentize rings and classify the zoom-level cell cover."""
+    edges = rings_to_edges(rings)
+    if len(edges) == 0:
+        return PreparedZone(zone_id, edges, (0, 0, 0, 0), zoom, {})
+    min_x = int(min(edges[:, 0].min(), edges[:, 2].min()))
+    max_x = int(max(edges[:, 0].max(), edges[:, 2].max()))
+    min_y = int(min(edges[:, 1].min(), edges[:, 3].min()))
+    max_y = int(max(edges[:, 1].max(), edges[:, 3].max()))
+    if max_x - min_x >= MAX_ZONE_SPAN or max_y - min_y >= MAX_ZONE_SPAN:
+        raise ValueError(
+            f"zone {zone_id} spans >= 2^30 units; exact int64 kernel "
+            f"contract violated — split the zone or lower the index zoom")
+
+    boundary: set[tuple[int, int]] = set()
+    for ax, ay, bx, by in edges:
+        boundary |= _segment_intersects_cells(int(ax), int(ay), int(bx), int(by), zoom)
+
+    cover: dict[int, int] = {}
+    for col, row in boundary:
+        cover[int(cell_from_col_row(col, row, zoom))] = BOUNDARY
+
+    # remaining cells in the bbox cover: classify by corner parity
+    c0, c1 = int(col_from_x(min_x, zoom)), int(col_from_x(max_x, zoom))
+    r0, r1 = int(row_from_y(max_y, zoom)), int(row_from_y(min_y, zoom))
+    cand = [(c, r) for c in range(c0, c1 + 1) for r in range(r0, r1 + 1)
+            if (c, r) not in boundary]
+    if cand:
+        cells = np.array([cell_from_col_row(c, r, zoom) for c, r in cand],
+                         dtype=np.int64)
+        corners_x = np.empty(len(cand), dtype=np.int64)
+        corners_y = np.empty(len(cand), dtype=np.int64)
+        for i, cell in enumerate(cells):
+            bx0, by0, _, _ = cell_bounds(int(cell))
+            corners_x[i] = bx0
+            corners_y[i] = by0
+        loc = kernel.locate_points(corners_x, corners_y, edges)
+        for cell, lo in zip(cells, loc):
+            if lo == kernel.INSIDE:
+                cover[int(cell)] = INSIDE
+    return PreparedZone(zone_id, edges, (min_x, min_y, max_x, max_y), zoom, cover)
