@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial join at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the correctness gate.
+
+Exactness design: spatial queries run over points derived from lineitem
+keys with pure integer LCG arithmetic (libgeodesk_spark/sources/points.py)
+so Spark and DuckDB materialize bit-identical inputs; all gate outputs are
+integers/strings (no cross-engine float hashing).
 """
 
 from __future__ import annotations
@@ -12,27 +15,296 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+# ---------------------------------------------------------------------------
+# lazily import the engine (keeps module import cheap for the driver)
+# ---------------------------------------------------------------------------
+
+def _zones():
+    import numpy as np
+
+    from libgeodesk_spark.geom.zones import prepare_zone
+    from libgeodesk_spark.sources.points import GATE_ZONES
+    return {name: prepare_zone(name, [np.array(r) for r in rings])
+            for name, rings in GATE_ZONES.items()}
+
+
+_ZONE_CACHE: dict = {}
+
+
+def _zone(name):
+    if not _ZONE_CACHE:
+        _ZONE_CACHE.update(_zones())
+    return _ZONE_CACHE[name]
+
+
+# --- gate constants (embedded in both Spark + SQL) -------------------------
+
+KNN_Q = (93_000_000, 644_000_000)        # inside the window
+RADIUS_Q = (91_000_000, 645_000_000)
+RADIUS_SQ = 500_000 ** 2
+BBOX = (90_000_000, 642_000_000, 94_000_000, 646_000_000)
+HOT_THRESHOLD = 50                        # cells with ≥50 points (hot + none)
+
+#: contains_point probes: tooth interior, notch, on the tooth wall,
+#: outside the window, exactly on a ring vertex
+PROBES = [
+    ("p_tooth", 89_000_000 + 1_500_000, 640_000_000 + 4_000_000),
+    ("p_notch", 89_000_000 + 2_500_000, 640_000_000 + 4_000_000),
+    ("p_wall", 89_000_000 + 2_000_000, 640_000_000 + 4_000_000),
+    ("p_out", 89_000_000 - 5_000_000, 640_000_000),
+    ("p_vertex", 89_000_000 + 1_000_000, 640_000_000 + 1_000_000),
+]
+
+PYRAMID_LEVELS = (0, 2, 4, 6, 8, 10, 12)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-polygon join (comb zone) over sf0.001 points."""
+    return _q_within("comb")(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def _points(spark, sf_dir):
+    from libgeodesk_spark.sources.points import derived_points
+    return derived_points(spark, sf_dir)
+
+
+def _q_cell_assign(spark, sf_dir):
+    return _points(spark, sf_dir).select("image_id", "x", "y", "cell_id", "salt")
+
+
+def _q_cell_pyramid(spark, sf_dir):
+    from libgeodesk_spark.functions.cells import cell_id as cell_col
+    pts = _points(spark, sf_dir)
+    levels = F.array(*[
+        F.struct(F.lit(z).alias("zoom"),
+                 cell_col(F.col("x"), F.col("y"), z).alias("cell"))
+        for z in PYRAMID_LEVELS])
+    return (pts.select(F.explode(levels).alias("lc"))
+            .select(F.col("lc.zoom").alias("zoom"), F.col("lc.cell").alias("cell"))
+            .groupBy("zoom", "cell").agg(F.count("*").alias("n")))
+
+
+def _q_bbox(spark, sf_dir):
+    from libgeodesk_spark.operators.spatial_join import bbox_filter
+    mnx, mny, mxx, mxy = BBOX
+    return bbox_filter(_points(spark, sf_dir), mnx, mny, mxx, mxy) \
+        .select("image_id", "cell_id")
+
+
+def _q_within(zname):
+    def q(spark, sf_dir):
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        return join_zones(_points(spark, sf_dir), [_zone(zname)],
+                          predicate="within").select("image_id", "cell_id")
+    return q
+
+
+def _q_intersects(zname):
+    def q(spark, sf_dir):
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        return join_zones(_points(spark, sf_dir), [_zone(zname)],
+                          predicate="intersects").select("image_id", "cell_id")
+    return q
+
+
+def _q_contains_point(spark, sf_dir):
+    from libgeodesk_spark import mercator
+    from libgeodesk_spark.operators.spatial_join import join_zones
+    rows = [(pid, x, y, int(mercator.cell_id(x, y, 12))) for pid, x, y in PROBES]
+    probes = spark.createDataFrame(rows, "probe_id string, x long, y long, cell_id long")
+    return join_zones(probes, [_zone("comb")], predicate="contains_point",
+                      prefilter_bbox=False).select("probe_id")
+
+
+def _q_knn(k):
+    def q(spark, sf_dir):
+        from libgeodesk_spark.operators.knn import knn
+        return knn(_points(spark, sf_dir), KNN_Q[0], KNN_Q[1], k) \
+            .select("image_id", "sq_dist")
+    return q
+
+
+def _q_radius(spark, sf_dir):
+    from libgeodesk_spark.operators.knn import radius_units, sq_dist_col
+    return radius_units(_points(spark, sf_dir), RADIUS_Q[0], RADIUS_Q[1], RADIUS_SQ) \
+        .select("image_id",
+                sq_dist_col("x", "y", RADIUS_Q[0], RADIUS_Q[1]).alias("sq_dist"))
+
+
+def _q_tile_stats(spark, sf_dir):
+    return (_points(spark, sf_dir).groupBy("cell_id")
+            .agg(F.count("*").alias("n"),
+                 F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+                 F.sum(F.col("phash") % 997).alias("phash_sum")))
+
+
+def _q_hot_cells(spark, sf_dir):
+    return (_points(spark, sf_dir).groupBy("cell_id")
+            .agg(F.count("*").alias("n")).filter(F.col("n") >= HOT_THRESHOLD))
+
+
+def _q_colocated(spark, sf_dir):
+    # vertex-equality style join demo (connectedTo analog, ConnectedFilter.cpp):
+    # quantize to a 256-unit grid and report buckets with >= 2 points
+    pts = _points(spark, sf_dir)
+    return (pts.select(F.shiftright(F.col("x"), 8).alias("gx"),
+                       F.shiftright(F.col("y"), 8).alias("gy"))
+            .groupBy("gx", "gy").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                  .alias("sum_base_price_cents"),
+                 F.count("*").alias("count_order")))
+
+
+def _q_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def _q_orders_by_segment(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("total_cents")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cell_assign": _q_cell_assign,
+        "cell_pyramid": _q_cell_pyramid,
+        "bbox_window": _q_bbox,
+        "within_convex": _q_within("convex"),
+        "within_comb": _q_within("comb"),
+        "within_holed": _q_within("holed"),
+        "intersects_comb": _q_intersects("comb"),
+        "contains_point": _q_contains_point,
+        "knn_k5": _q_knn(5),
+        "knn_k50": _q_knn(50),
+        "radius_500k": _q_radius,
+        "tile_stats": _q_tile_stats,
+        "hot_cells": _q_hot_cells,
+        "colocated_grid": _q_colocated,
+        "tpch_q1": _q_tpch_q1,
+        "events_by_type": _q_events_by_type,
+        "orders_by_segment": _q_orders_by_segment,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from libgeodesk_spark.sources.points import (
+        GATE_ZONES,
+        locate_sql,
+        points_cte,
+        within_sql,
+    )
+
+    pc = points_cte()
+
+    def pyramid_sql():
+        selects = []
+        for z in PYRAMID_LEVELS:
+            shift = 32 - z
+            selects.append(
+                f"SELECT {z} AS zoom, ({z} * 16777216) "
+                f"+ (((2147483647 - y) >> {shift}) * 4096) "
+                f"+ ((x + 2147483648) >> {shift}) AS cell, COUNT(*) AS n "
+                f"FROM pts GROUP BY 1, 2")
+        return pc + " " + " UNION ALL ".join(selects)
+
+    mnx, mny, mxx, mxy = BBOX
+    qx, qy = KNN_Q
+    rx, ry = RADIUS_Q
+
+    probes_values = ",".join(
+        f"('{p}',CAST({x} AS BIGINT),CAST({y} AS BIGINT))" for p, x, y in PROBES)
+    frag = locate_sql(GATE_ZONES["comb"])
+    contains_sql = f"""
+    WITH probes AS (SELECT * FROM (VALUES {probes_values}) AS t(probe_id, x, y)),
+    loc AS (
+      SELECT p.probe_id,
+             SUM({frag['crossing']}) AS crossings,
+             MAX({frag['on_seg']}) AS on_boundary
+      FROM probes p CROSS JOIN {frag['edges']}
+      GROUP BY p.probe_id)
+    SELECT probe_id FROM loc WHERE on_boundary = 1 OR crossings % 2 = 1
     """
-    return {}
+
+    def knn_sql(k):
+        return f"""{pc}
+        SELECT image_id, (x - {qx}) * (x - {qx}) + (y - {qy}) * (y - {qy}) AS sq_dist
+        FROM pts ORDER BY sq_dist, image_id LIMIT {k}"""
+
+    return {
+        "cell_assign": f"{pc} SELECT image_id, x, y, cell_id, salt FROM pts",
+        "cell_pyramid": pyramid_sql(),
+        "bbox_window": f"""{pc} SELECT image_id, cell_id FROM pts
+            WHERE x >= {mnx} AND x <= {mxx} AND y >= {mny} AND y <= {mxy}""",
+        "within_convex": within_sql(GATE_ZONES["convex"]),
+        "within_comb": within_sql(GATE_ZONES["comb"]),
+        "within_holed": within_sql(GATE_ZONES["holed"]),
+        "intersects_comb": within_sql(GATE_ZONES["comb"], strict=False),
+        "contains_point": contains_sql,
+        "knn_k5": knn_sql(5),
+        "knn_k50": knn_sql(50),
+        "radius_500k": f"""{pc}
+            SELECT image_id,
+                   (x - {rx}) * (x - {rx}) + (y - {ry}) * (y - {ry}) AS sq_dist
+            FROM pts
+            WHERE (x - {rx}) * (x - {rx}) + (y - {ry}) * (y - {ry}) <= {RADIUS_SQ}""",
+        "tile_stats": f"""{pc}
+            SELECT cell_id, COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+                   MIN(y) AS min_y, MAX(y) AS max_y,
+                   CAST(SUM(phash % 997) AS BIGINT) AS phash_sum
+            FROM pts GROUP BY cell_id""",
+        "hot_cells": f"""{pc} SELECT cell_id, COUNT(*) AS n FROM pts
+            GROUP BY cell_id HAVING COUNT(*) >= {HOT_THRESHOLD}""",
+        "colocated_grid": f"""{pc}
+            SELECT x >> 8 AS gx, y >> 8 AS gy, COUNT(*) AS n FROM pts
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+        "orders_by_segment": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+    }

@@ -1,0 +1,120 @@
+"""kNN and radius queries via cell-ring expansion + exact distance refine.
+
+Reference analog: ``maxMetersFrom`` converts the radius to a Mercator-unit
+bbox pre-window at the query point's latitude
+(src/filter/PointDistanceFilter.cpp:16-22, Mercator.h:169-172) and then
+refines with exact point-segment distance (src/geom/Distance.cpp:8-37).
+The reference has no kNN, only radius — kNN here is the distributed
+generalization mandated by the north rule: start at the query's cell, scan
+expanding Chebyshev rings of cells, stop when the k-th best squared
+distance is strictly below the minimum possible distance to any unexplored
+cell (the ring-expansion guarantee).
+
+Distances are **exact int64 squared Mercator units** (point candidates),
+so neighbor sets are bit-reproducible and tie-broken deterministically by
+id. Cell-ring candidate pruning happens via an ``IN`` predicate on
+``cell_id`` — partition-prunable on a cell-partitioned table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libgeodesk_spark import mercator
+from libgeodesk_spark.mercator import (
+    cell_bounds,
+    cell_from_col_row,
+    col_from_x,
+    row_from_y,
+    units_from_meters,
+)
+
+
+def _ring_cells(qcol: int, qrow: int, r: int, zoom: int) -> list[int]:
+    """Cells at Chebyshev distance exactly r from (qcol, qrow)."""
+    n = 1 << zoom
+    if r == 0:
+        return [int(cell_from_col_row(qcol, qrow, zoom))]
+    cells = []
+    for dc in range(-r, r + 1):
+        for dr in (-r, r):
+            c, w = (qcol + dc) % n, (qrow + dr) % n
+            cells.append(int(cell_from_col_row(c, w, zoom)))
+    for dr in range(-r + 1, r):
+        for dc in (-r, r):
+            c, w = (qcol + dc) % n, (qrow + dr) % n
+            cells.append(int(cell_from_col_row(c, w, zoom)))
+    return cells
+
+
+def sq_dist_col(x_col, y_col, qx: int, qy: int):
+    """Exact integer squared distance Column (JVM arithmetic)."""
+    dx = F.col(x_col).cast("long") - F.lit(qx)
+    dy = F.col(y_col).cast("long") - F.lit(qy)
+    return dx * dx + dy * dy
+
+
+def knn(points: DataFrame, qx: int, qy: int, k: int,
+        zoom: int = mercator.MAX_ZOOM,
+        id_col: str = "image_id", x_col: str = "x", y_col: str = "y",
+        cell_col: str = "cell_id", max_rings: int = 64) -> DataFrame:
+    """Exact k nearest points to (qx,qy); deterministic tie-break by id.
+
+    Iteratively expands cell rings; per iteration one Spark job over only
+    the candidate cells (``cell_id IN ...`` — prunable), collecting at most
+    k rows to the driver for the stop test. Returns a DataFrame
+    (id, x, y, sq_dist) of exactly min(k, candidates) rows, built from the
+    final collected top-k so downstream use is a local broadcastable frame.
+    """
+    spark = points.sparkSession
+    qcol = int(col_from_x(qx, zoom))
+    qrow = int(row_from_y(qy, zoom))
+    sq = sq_dist_col(x_col, y_col, qx, qy).alias("sq_dist")
+
+    seen_cells: list[int] = []
+    best = None
+    r = 0
+    while r <= max_rings:
+        seen_cells.extend(_ring_cells(qcol, qrow, r, zoom))
+        cand = points.filter(F.col(cell_col).isin(seen_cells)) \
+            .select(id_col, x_col, y_col, sq) \
+            .orderBy("sq_dist", id_col).limit(k)
+        best = cand.collect()
+        if len(best) >= k:
+            # min possible squared distance to any cell beyond ring r:
+            # distance from q to the outside of the covered box
+            mnx, mny, _, _ = cell_bounds(int(cell_from_col_row(
+                (qcol - r) % (1 << zoom), (qrow + r) % (1 << zoom), zoom)))
+            _, _, mxx, mxy = cell_bounds(int(cell_from_col_row(
+                (qcol + r) % (1 << zoom), (qrow - r) % (1 << zoom), zoom)))
+            gap = min(qx - mnx + 1, mxx + 1 - qx, qy - mny + 1, mxy + 1 - qy)
+            if best[k - 1]["sq_dist"] < gap * gap:
+                break
+        r += 1
+
+    return spark.createDataFrame(best, schema=f"{id_col} string, {x_col} long, "
+                                              f"{y_col} long, sq_dist long")
+
+
+def radius_units(points: DataFrame, qx: int, qy: int, max_sq_units: float,
+                 zoom: int = mercator.MAX_ZOOM,
+                 x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """All points with squared distance ≤ max_sq_units: bbox pre-window
+    (pushdown range predicate, the PointDistanceFilter.cpp:16-22 pattern)
+    + exact refine. Pure JVM — no Python in the path."""
+    import math
+    d = int(math.isqrt(int(max_sq_units))) + 1
+    pre = points.filter(
+        (F.col(x_col) >= qx - d) & (F.col(x_col) <= qx + d)
+        & (F.col(y_col) >= qy - d) & (F.col(y_col) <= qy + d))
+    return pre.filter(sq_dist_col(x_col, y_col, qx, qy) <= F.lit(max_sq_units))
+
+
+def max_meters_from(points: DataFrame, meters: float, qx: int, qy: int,
+                    x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """maxMetersFrom(d, xy) for point candidates: meters → units at the
+    query's y (PointDistanceFilter.cpp:16-22), then exact unit-space
+    compare — identical semantics to the reference for nodes."""
+    units = units_from_meters(meters, qy)
+    return radius_units(points, qx, qy, units * units, x_col=x_col, y_col=y_col)

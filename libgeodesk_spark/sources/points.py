@@ -1,0 +1,223 @@
+"""Deterministic geotagged-point derivation — single source of truth for the
+Spark engine AND the DuckDB oracle SQL.
+
+The correctness gate (driver CORRECTNESS check) runs each Spark query
+side-by-side with an ANSI-SQL oracle over the same parquet tables. To make
+spatial results bit-exact across engines, the synthetic "image points" are
+derived from ``lineitem`` keys with pure integer arithmetic (LCG mixing —
+no engine hash builtins, no floats), so both engines materialize the exact
+same (image_id, x, y, cell_id) rows. The placement mirrors FIXTURES.md:
+~80% uniform in a regional window, 20% in one hot zoom-12 cell
+(Zipfian-skew stand-in, exercising the salting path).
+
+Every constant below is embedded into BOTH the Spark Column expressions
+and the generated SQL text, so there is exactly one definition.
+
+Scale note: all of this is whole-stage-codegen JVM integer arithmetic in
+Spark — at 10^12 rows it fuses into the parquet scan with zero Python and
+zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libgeodesk_spark import mercator
+
+# ---------------------------------------------------------------------------
+# constants (shared verbatim by Spark + SQL)
+# ---------------------------------------------------------------------------
+
+ZOOM = 12
+CELL_EXTENT = 1 << (32 - ZOOM)            # 1048576 units per zoom-12 cell
+
+X0 = 89_000_000                            # ≈ 7.46°E
+Y0 = 640_000_000                           # ≈ 47.16°N
+SPAN = 1 << 23                             # 8388608 units ≈ 0.70° — 8-9 cells/axis
+
+HOT_X_OFF = 5_000_000                      # hot-cell block offset inside window
+HOT_Y_OFF = 3_000_000
+HOT_SPAN = 4096                            # hot block: 4096x4096 units
+
+LCG_A1, LCG_C1 = 2654435761, 1013904223    # Knuth/numerical-recipes constants
+LCG_A2, LCG_C2 = 2246822519, 3266489917
+M32 = 4294967296
+
+N_SALTS = 16
+
+# hot block must sit inside a single zoom-12 cell (skew demo is per-cell)
+assert (X0 + HOT_X_OFF + (1 << 31)) >> 20 == (X0 + HOT_X_OFF + HOT_SPAN - 1 + (1 << 31)) >> 20
+assert (0x7FFFFFFF - (Y0 + HOT_Y_OFF)) >> 20 == (0x7FFFFFFF - (Y0 + HOT_Y_OFF + HOT_SPAN - 1)) >> 20
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image_id, pid, x, y, cell_id, salt, phash) derived from lineitem.
+
+    Pure Column integer arithmetic — fuses into the scan under
+    whole-stage codegen; verified bit-identical to :func:`points_sql`.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # lineitem has duplicate (orderkey, linenumber) pairs in the synthetic
+    # data -> derive from DISTINCT pids so image_id is a real key
+    li = li.select((F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                   .cast("long").alias("pid")).distinct()
+    pid = F.col("pid")
+    h1 = (pid * F.lit(LCG_A1) + F.lit(LCG_C1)) % F.lit(M32)
+    h2 = (pid * F.lit(LCG_A2) + F.lit(LCG_C2)) % F.lit(M32)
+    hot = (pid % 10) < 2
+    x = F.when(hot, F.lit(X0 + HOT_X_OFF) + h1 % F.lit(HOT_SPAN)) \
+         .otherwise(F.lit(X0) + h1 % F.lit(SPAN))
+    y = F.when(hot, F.lit(Y0 + HOT_Y_OFF) + h2 % F.lit(HOT_SPAN)) \
+         .otherwise(F.lit(Y0) + h2 % F.lit(SPAN))
+    col = F.shiftright(x + F.lit(1 << 31), 32 - ZOOM)
+    row = F.shiftright(F.lit(0x7FFFFFFF) - y, 32 - ZOOM)
+    cell = F.lit(ZOOM << 24) + F.shiftleft(row, 12) + col
+    return li.select(
+        F.format_string("img%012d", pid).alias("image_id"),
+        pid.alias("pid"),
+        x.alias("x"),
+        y.alias("y"),
+        cell.alias("cell_id"),
+        (pid % F.lit(N_SALTS)).alias("salt"),
+        ((h1 % F.lit(2**31)) * F.lit(M32) + h2).alias("phash"),  # < 2^63
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side (generated SQL text with the same constants)
+# ---------------------------------------------------------------------------
+
+def points_sql() -> str:
+    """CTE body reproducing :func:`derived_points` in ANSI/DuckDB SQL."""
+    return f"""
+    SELECT 'img' || lpad(CAST(pid AS VARCHAR), 12, '0') AS image_id,
+           pid, x, y,
+           ({ZOOM} * 16777216)
+             + (((2147483647 - y) >> {32 - ZOOM}) * 4096)
+             + ((x + 2147483648) >> {32 - ZOOM}) AS cell_id,
+           pid % {N_SALTS} AS salt,
+           (h1 % 2147483648) * {M32} + h2 AS phash
+    FROM (
+      SELECT pid,
+             CASE WHEN pid % 10 < 2
+                  THEN {X0 + HOT_X_OFF} + h1 % {HOT_SPAN}
+                  ELSE {X0} + h1 % {SPAN} END AS x,
+             CASE WHEN pid % 10 < 2
+                  THEN {Y0 + HOT_Y_OFF} + h2 % {HOT_SPAN}
+                  ELSE {Y0} + h2 % {SPAN} END AS y,
+             h1, h2
+      FROM (
+        SELECT pid,
+               (pid * {LCG_A1} + {LCG_C1}) % {M32} AS h1,
+               (pid * {LCG_A2} + {LCG_C2}) % {M32} AS h2
+        FROM (SELECT DISTINCT l_orderkey * 8 + l_linenumber AS pid FROM lineitem)
+      )
+    )
+    """
+
+
+def points_cte() -> str:
+    return f"WITH pts AS ({points_sql()})"
+
+
+# ---------------------------------------------------------------------------
+# gate zone polygons (integer vertices inside the window; closed rings).
+# Mirrors the FIXTURES.md zone inventory shapes at gate scale.
+# ---------------------------------------------------------------------------
+
+def _c(dx: int, dy: int) -> tuple[int, int]:
+    return (X0 + dx, Y0 + dy)
+
+
+#: convex octagon spanning several cells (zone0000 analog)
+GATE_ZONE_CONVEX = [[
+    _c(3_000_000, 1_000_000), _c(5_000_000, 1_500_000), _c(6_000_000, 3_000_000),
+    _c(5_800_000, 5_000_000), _c(4_000_000, 6_200_000), _c(2_200_000, 5_700_000),
+    _c(1_400_000, 3_800_000), _c(1_800_000, 1_900_000), _c(3_000_000, 1_000_000),
+]]
+
+#: concave comb (zone0001 analog) — many PIP crossings, incl. the hot cell
+GATE_ZONE_COMB = [[
+    _c(1_000_000, 1_000_000), _c(7_000_000, 1_000_000), _c(7_000_000, 6_000_000),
+    _c(6_000_000, 6_000_000), _c(6_000_000, 2_500_000), _c(5_000_000, 2_500_000),
+    _c(5_000_000, 6_000_000), _c(4_000_000, 6_000_000), _c(4_000_000, 2_500_000),
+    _c(3_000_000, 2_500_000), _c(3_000_000, 6_000_000), _c(2_000_000, 6_000_000),
+    _c(2_000_000, 2_500_000), _c(1_000_000, 2_500_000), _c(1_000_000, 1_000_000),
+]]
+
+#: square with a rectangular hole (zone0002 analog); hole ring CCW
+GATE_ZONE_HOLED = [
+    [_c(2_000_000, 2_000_000), _c(6_500_000, 2_000_000), _c(6_500_000, 6_500_000),
+     _c(2_000_000, 6_500_000), _c(2_000_000, 2_000_000)],
+    [_c(3_500_000, 3_500_000), _c(5_000_000, 3_500_000), _c(5_000_000, 5_000_000),
+     _c(3_500_000, 5_000_000), _c(3_500_000, 3_500_000)],
+]
+
+GATE_ZONES = {
+    "convex": GATE_ZONE_CONVEX,
+    "comb": GATE_ZONE_COMB,
+    "holed": GATE_ZONE_HOLED,
+}
+
+
+def zone_edges_values_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """Polygon edges as an inline VALUES relation e(ax, ay, bx, by)."""
+    rows = []
+    for ring in rings:
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            rows.append(
+                f"(CAST({ax} AS BIGINT),CAST({ay} AS BIGINT),"
+                f"CAST({bx} AS BIGINT),CAST({by} AS BIGINT))")
+    return "(VALUES " + ",".join(rows) + ") AS e(ax, ay, bx, by)"
+
+
+def locate_sql(rings: list[list[tuple[int, int]]],
+               px: str = "p.x", py: str = "p.y") -> dict[str, str]:
+    """SQL fragments computing the crossing-parity location of point
+    (px,py) against the zone — the exact per-edge half-open formulation of
+    the kernel (see geom/kernel.py locate_points): aggregate over the edge
+    VALUES relation; ``crossings`` and ``on_boundary`` columns."""
+    crossing = (
+        f"CASE WHEN e.ay <> e.by "
+        f"AND {py} >= least(e.ay, e.by) AND {py} < greatest(e.ay, e.by) "
+        f"AND ({px} < least(e.ax, e.bx) OR ({px} <= greatest(e.ax, e.bx) AND "
+        f"CASE WHEN e.ay < e.by "
+        f"THEN (e.bx - e.ax) * ({py} - e.ay) - (e.by - e.ay) * ({px} - e.ax) "
+        f"ELSE (e.ax - e.bx) * ({py} - e.by) - (e.ay - e.by) * ({px} - e.bx) "
+        f"END > 0)) THEN 1 ELSE 0 END"
+    )
+    on_seg = (
+        f"CASE WHEN {px} >= least(e.ax, e.bx) AND {px} <= greatest(e.ax, e.bx) "
+        f"AND {py} >= least(e.ay, e.by) AND {py} <= greatest(e.ay, e.by) "
+        f"AND (e.bx - e.ax) * ({py} - e.ay) - (e.by - e.ay) * ({px} - e.ax) = 0 "
+        f"THEN 1 ELSE 0 END"
+    )
+    return {"crossing": crossing, "on_seg": on_seg,
+            "edges": zone_edges_values_sql(rings)}
+
+
+def within_sql(rings: list[list[tuple[int, int]]],
+               select_cols: str = "image_id, cell_id",
+               strict: bool = True) -> str:
+    """Full oracle query: points strictly inside (within, node semantics
+    WithinFilter.cpp:60-63) or inside-or-boundary (strict=False,
+    intersects/contains-point semantics ContainsPointFilter.cpp:11-25)."""
+    frag = locate_sql(rings)
+    cond = ("on_boundary = 0 AND crossings % 2 = 1" if strict
+            else "(on_boundary = 1 OR crossings % 2 = 1)")
+    return f"""
+    {points_cte()},
+    loc AS (
+      SELECT p.image_id, p.cell_id, p.x, p.y,
+             SUM({frag['crossing']}) AS crossings,
+             MAX({frag['on_seg']}) AS on_boundary
+      FROM pts p CROSS JOIN {frag['edges']}
+      GROUP BY p.image_id, p.cell_id, p.x, p.y
+    )
+    SELECT {select_cols} FROM loc WHERE {cond}
+    """
