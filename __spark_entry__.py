@@ -193,6 +193,106 @@ def _q_orders_by_segment(spark, sf_dir):
                   .alias("total_cents")))
 
 
+# --- text / dedup / ANN / GOQL / tile-agg ----------------------------------
+
+ANN_QIDS = [0, 1, 2, 3, 4]
+GOQL_QUERY = "*[lang=en,fr][n_chars>300]"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_text_features(spark, sf_dir):
+    from libgeodesk_spark.operators.textops import text_features
+    return text_features(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from libgeodesk_spark.operators.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from libgeodesk_spark.operators.dedup import simhash
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    from libgeodesk_spark.operators.dedup import simhash_near_dups
+    return simhash_near_dups(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from libgeodesk_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), 50)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from libgeodesk_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), 50)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from libgeodesk_spark.operators.ann import brute_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_topk(emb, ANN_QIDS, 10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from libgeodesk_spark.operators.ann import lsh_bucket_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_topk(emb, ANN_QIDS, 10)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from libgeodesk_spark.operators.ann import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, ANN_QIDS, 10).select("qid", "vec_id", "rank")
+
+
+def _q_goql(spark, sf_dir):
+    from libgeodesk_spark.functions.goql import goql_filter
+    return goql_filter(_docs(spark, sf_dir), GOQL_QUERY).select("doc_id")
+
+
+def _q_tile_captions(spark, sf_dir):
+    """Per-(cell, fmt) caption digest — pure Column path (captions derived
+    in JVM, digest = sha256 over image_id-sorted captions + NUL separators,
+    mirroring operators/tileagg.py metrics)."""
+    pts = _points(spark, sf_dir)
+    cap = F.format_string('caption %d — café "№%d"',
+                          F.col("pid"), F.col("pid") % 97)
+    r = F.col("pid") % 10
+    fmt = F.when(r < 4, "png").when(r < 8, "jpeg").otherwise("bmp")
+    rows = pts.select("cell_id", fmt.alias("fmt"),
+                      F.col("image_id"), cap.alias("caption"))
+    agg = (rows.groupBy("cell_id", "fmt")
+           .agg(F.count("*").alias("n_images"),
+                F.sha2(F.concat_ws("", F.transform(
+                    F.sort_array(F.collect_list(F.struct("image_id", "caption"))),
+                    lambda s: F.concat(s["caption"], F.lit("\x00")))), 256)
+                .alias("caption_sha")))
+    return agg
+
+
+def _q_tile_metrics(spark, sf_dir):
+    from libgeodesk_spark.operators.tileagg import tile_reencode_metrics
+    from libgeodesk_spark.sources.images import images_table
+    img = images_table(spark, sf_dir)
+    return tile_reencode_metrics(img) \
+        .select("cell_id", "fmt", "n_images", "bytes_in", "bytes_out",
+                (F.col("min_psnr") >= 40.0).alias("psnr_ok"), "caption_sha")
+
+
+def _q_tile_mosaic(spark, sf_dir):
+    from libgeodesk_spark.operators.tileagg import mosaic_tiles
+    from libgeodesk_spark.sources.images import images_table
+    img = images_table(spark, sf_dir)
+    return mosaic_tiles(img).select("cell_id", "n_images",
+                                    F.length("tile_png").alias("png_bytes"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -212,6 +312,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "events_by_type": _q_events_by_type,
         "orders_by_segment": _q_orders_by_segment,
+        "text_features": _q_text_features,
+        "exact_dedup": _q_exact_dedup,
+        "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,          # rows-only (approximate variant)
+        "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
+        "goql_filter": _q_goql,
+        "tile_captions": _q_tile_captions,
+        "tile_metrics": _q_tile_metrics,     # rows-only (binary payloads)
+        "tile_mosaic": _q_tile_mosaic,       # rows-only (binary payloads)
     }
 
 
@@ -307,4 +420,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
+        "text_features": _textops().text_features_sql(),
+        "exact_dedup": _dedup().exact_dedup_sql(),
+        "simhash": _dedup().simhash_sql(),
+        "simhash_near_dups": _dedup().simhash_near_dups_sql(),
+        "minhash_lsh_pairs": _dedup().minhash_lsh_pairs_sql(50),
+        "ngram_jaccard_pairs": _dedup().ngram_jaccard_pairs_sql(50),
+        "ann_topk": _ann().brute_topk_sql(ANN_QIDS, 10),
+        "goql_filter": """
+            SELECT doc_id FROM documents
+            WHERE lang IN ('en', 'fr') AND TRY_CAST(n_chars AS DOUBLE) > 300""",
+        "tile_captions": f"""{pc}
+            SELECT cell_id,
+                   CASE WHEN pid % 10 < 4 THEN 'png'
+                        WHEN pid % 10 < 8 THEN 'jpeg' ELSE 'bmp' END AS fmt,
+                   COUNT(*) AS n_images,
+                   sha256(string_agg(
+                       'caption ' || pid || ' — café "№' || (pid % 97) || '"'
+                       || chr(0), '' ORDER BY image_id)) AS caption_sha
+            FROM pts GROUP BY 1, 2""",
     }
+
+
+def _textops():
+    from libgeodesk_spark.operators import textops
+    return textops
+
+
+def _dedup():
+    from libgeodesk_spark.operators import dedup
+    return dedup
+
+
+def _ann():
+    from libgeodesk_spark.operators import ann
+    return ann

