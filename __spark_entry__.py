@@ -293,6 +293,12 @@ def _q_tile_mosaic(spark, sf_dir):
                                     F.length("tile_png").alias("png_bytes"))
 
 
+def _q_zorder(spark, sf_dir):
+    from libgeodesk_spark.sources.writer import morton_key
+    return _points(spark, sf_dir).select(
+        "image_id", morton_key(F.col("x"), F.col("y")).alias("zkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -325,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_captions": _q_tile_captions,
         "tile_metrics": _q_tile_metrics,     # rows-only (binary payloads)
         "tile_mosaic": _q_tile_mosaic,       # rows-only (binary payloads)
+        "zorder_key": _q_zorder,
     }
 
 
@@ -430,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "goql_filter": """
             SELECT doc_id FROM documents
             WHERE lang IN ('en', 'fr') AND TRY_CAST(n_chars AS DOUBLE) > 300""",
+        "zorder_key": f"""{pc} SELECT image_id, {_writer().morton_key_sql()} AS zkey FROM pts""",
         "tile_captions": f"""{pc}
             SELECT cell_id,
                    CASE WHEN pid % 10 < 4 THEN 'png'
@@ -440,6 +448,11 @@ def oracle_sql() -> dict[str, str]:
                        || chr(0), '' ORDER BY image_id)) AS caption_sha
             FROM pts GROUP BY 1, 2""",
     }
+
+
+def _writer():
+    from libgeodesk_spark.sources import writer
+    return writer
 
 
 def _textops():

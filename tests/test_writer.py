@@ -1,0 +1,67 @@
+"""Storage layout tests: partition pruning is visible in the plan, window
+scans are exact, Morton clustering orders within partitions."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from libgeodesk_spark.sources.points import derived_points
+from libgeodesk_spark.sources.writer import (
+    morton_key,
+    read_gol_layout,
+    scan_window,
+    write_gol_layout,
+)
+
+
+def test_roundtrip_and_pruned_scan(spark, sf_dir, tmp_path):
+    pts = derived_points(spark, sf_dir)
+    path = str(tmp_path / "gol")
+    write_gol_layout(pts, path)
+    back = read_gol_layout(spark, path)
+    assert back.count() == pts.count()
+
+    window = (90_000_000, 642_000_000, 94_000_000, 646_000_000)
+    got = scan_window(back, *window).select("image_id").toPandas()
+    want = pts.filter((F.col("x") >= window[0]) & (F.col("x") <= window[2])
+                      & (F.col("y") >= window[1]) & (F.col("y") <= window[3])) \
+        .select("image_id").toPandas()
+    assert sorted(got.image_id) == sorted(want.image_id)
+
+    # pruning shows in the physical plan: PartitionFilters on part_cell
+    plan = scan_window(back, *window)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "part_cell" in plan
+    # and the data filters reach the scan as pushed filters
+    assert "PushedFilters" in plan
+
+
+def test_partition_count_bounded(spark, sf_dir, tmp_path):
+    pts = derived_points(spark, sf_dir)
+    path = str(tmp_path / "gol2")
+    write_gol_layout(pts, path, part_zoom=2)
+    import os
+    parts = [d for d in os.listdir(path) if d.startswith("part_cell=")]
+    assert 1 <= len(parts) <= 16   # 4^2 = 16 possible
+
+
+def test_morton_matches_numpy(spark):
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    xs = rng.integers(-2**31, 2**31 - 1, 2000)
+    ys = rng.integers(-2**31, 2**31 - 1, 2000)
+    df = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    got = df.select(morton_key(F.col("x"), F.col("y")).alias("z")) \
+        .toPandas().z.to_numpy()
+
+    # numpy oracle: interleave top-16 bits
+    ux = (xs.astype(np.int64) + 2**31)
+    uy = (ys.astype(np.int64) + 2**31)
+    want = np.zeros(len(xs), dtype=np.int64)
+    for b in range(16):
+        src = 16 + b
+        want |= ((ux >> src) & 1) << (2 * b)
+        want |= ((uy >> src) & 1) << (2 * b + 1)
+    assert np.array_equal(got, want)
+
+    # locality sanity: nearby points have nearby keys more often than random
+    assert len(set(want.tolist())) > 1900
