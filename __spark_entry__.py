@@ -299,6 +299,73 @@ def _q_zorder(spark, sf_dir):
         "image_id", morton_key(F.col("x"), F.col("y")).alias("zkey"))
 
 
+REL_IDS = list(range(100, 160))
+MEMBER_PROBE_IDS = [k * 8 + ln for k in range(200, 280) for ln in (1, 2)]
+
+
+def _membership(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(F.col("l_orderkey").alias("rel_id"),
+                     (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                     .alias("member_id"),
+                     F.col("l_linenumber").cast("string").alias("role")).distinct()
+
+
+def _q_members_of(spark, sf_dir):
+    from libgeodesk_spark.operators.topology import members_of
+    return members_of(_membership(spark, sf_dir), REL_IDS, roles=["1", "2", "3"])
+
+
+def _q_parents_of(spark, sf_dir):
+    from libgeodesk_spark.operators.topology import parents_of
+    return parents_of(_membership(spark, sf_dir), MEMBER_PROBE_IDS)
+
+
+# --- geometry scalar functions over the zones rings table (G1-G5) ----------
+
+def _q_zone_shoelace(spark, sf_dir):
+    from libgeodesk_spark.functions.geometry import ring_shoelace2
+    from libgeodesk_spark.sources.points import zones_df
+    z = zones_df(spark)
+    s2 = ring_shoelace2(F.col("ring")).alias("s2")
+    per_ring = z.select("zone_id", "role", s2)
+    net = F.sum(F.when(F.col("role") == "outer", F.abs(F.col("s2")))
+                .otherwise(-F.abs(F.col("s2")))).alias("shoelace2_net")
+    return per_ring.groupBy("zone_id").agg(net)
+
+
+def _q_zone_centroid(spark, sf_dir):
+    from libgeodesk_spark.functions.geometry import (
+        areal_centroid_from_sums,
+        ring_centroid_terms,
+    )
+    from libgeodesk_spark.sources.points import zones_df
+    z = zones_df(spark)
+    a, cx, cy = ring_centroid_terms(F.col("ring"), F.col("role") == "outer")
+    per_ring = z.select("zone_id", a.alias("a"), cx.alias("cx"), cy.alias("cy"))
+    sums = per_ring.groupBy("zone_id").agg(
+        F.sum("a").alias("a"), F.sum("cx").alias("cx"), F.sum("cy").alias("cy"))
+    ccx, ccy = areal_centroid_from_sums(F.col("a"), F.col("cx"), F.col("cy"))
+    return sums.select("zone_id", ccx.alias("centroid_x"), ccy.alias("centroid_y"))
+
+
+def _q_zone_length(spark, sf_dir):
+    from libgeodesk_spark.functions.geometry import way_length_cm
+    from libgeodesk_spark.sources.points import zones_df
+    z = zones_df(spark)
+    return (z.groupBy("zone_id")
+            .agg(F.sum(way_length_cm(F.col("ring"))).alias("perimeter_cm")))
+
+
+def _q_zone_bbox(spark, sf_dir):
+    from libgeodesk_spark.functions.geometry import ring_bbox
+    from libgeodesk_spark.sources.points import zones_df
+    z = zones_df(spark).select("zone_id", ring_bbox(F.col("ring")).alias("b"))
+    return (z.groupBy("zone_id")
+            .agg(F.min("b.min_x").alias("min_x"), F.min("b.min_y").alias("min_y"),
+                 F.max("b.max_x").alias("max_x"), F.max("b.max_y").alias("max_y")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -332,6 +399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_metrics": _q_tile_metrics,     # rows-only (binary payloads)
         "tile_mosaic": _q_tile_mosaic,       # rows-only (binary payloads)
         "zorder_key": _q_zorder,
+        "zone_shoelace": _q_zone_shoelace,
+        "zone_centroid": _q_zone_centroid,
+        "zone_length": _q_zone_length,
+        "zone_bbox": _q_zone_bbox,
+        "members_of": _q_members_of,
+        "parents_of": _q_parents_of,
     }
 
 
@@ -348,6 +421,60 @@ def oracle_sql() -> dict[str, str]:
     )
 
     pc = points_cte()
+
+    # geometry scalar oracle (edges from the shared VALUES vertices)
+    from libgeodesk_spark.mercator import EARTH_CIRCUMFERENCE, MAP_WIDTH
+    from libgeodesk_spark.sources.points import zone_vertices_values_sql
+    PI = 3.14159265358979323846
+    edges_cte = f"""
+    WITH v AS (SELECT * FROM {zone_vertices_values_sql()}),
+    e AS (
+      SELECT a.zone_id, a.ring_id, a.role,
+             a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM v a JOIN v b ON a.zone_id = b.zone_id
+        AND a.ring_id = b.ring_id AND b.idx = a.idx + 1)
+    """
+    t_mid = f"(CAST(y1 + y2 AS DOUBLE) / 2.0) * {2.0 * PI / MAP_WIDTH}"
+    seg_m = (f"sqrt(CAST((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS DOUBLE))"
+             f" * {EARTH_CIRCUMFERENCE / MAP_WIDTH}"
+             f" / ((exp({t_mid}) + exp(-({t_mid}))) / 2.0)")
+    zone_geom_oracle = {
+        "zone_shoelace": edges_cte + """
+          , r AS (SELECT zone_id, ring_id, role,
+                         SUM(x1 * y2 - x2 * y1) AS s2 FROM e GROUP BY 1, 2, 3)
+          SELECT zone_id,
+                 CAST(SUM(CASE WHEN role = 'outer' THEN abs(s2) ELSE -abs(s2) END) AS BIGINT)
+                   AS shoelace2_net
+          FROM r GROUP BY zone_id""",
+        "zone_centroid": edges_cte + """
+          , r AS (SELECT zone_id, ring_id, role,
+                         CAST(SUM(x1 * y2 - x2 * y1) AS DOUBLE) AS rs,
+                         SUM(CAST(x1 + x2 AS DOUBLE) * (x1 * y2 - x2 * y1)) AS cxs,
+                         SUM(CAST(y1 + y2 AS DOUBLE) * (x1 * y2 - x2 * y1)) AS cys
+                  FROM e GROUP BY 1, 2, 3),
+          sgn AS (SELECT zone_id,
+                         CASE WHEN rs >= 0 AND role = 'outer' THEN 1.0 ELSE -1.0 END AS sg,
+                         rs, cxs, cys FROM r),
+          z AS (SELECT zone_id, SUM(rs * sg) AS a, SUM(cxs * sg) AS cx,
+                       SUM(cys * sg) AS cy FROM sgn GROUP BY 1)
+          SELECT zone_id,
+                 CAST(round(cx / (3.0 * a)) AS BIGINT) AS centroid_x,
+                 CAST(round(cy / (3.0 * a)) AS BIGINT) AS centroid_y
+          FROM z""",
+        "zone_length": edges_cte + f"""
+          , seg AS (SELECT zone_id, ring_id,
+                           CAST(round(({seg_m}) * 100) AS BIGINT) AS cm FROM e)
+          SELECT zone_id, CAST(SUM(cm) AS BIGINT) AS perimeter_cm
+          FROM (SELECT zone_id, ring_id, CAST(SUM(cm) AS BIGINT) AS cm
+                FROM seg GROUP BY 1, 2)
+          GROUP BY zone_id""",
+        "zone_bbox": f"""
+          WITH v AS (SELECT * FROM {zone_vertices_values_sql()})
+          SELECT zone_id, MIN(x) AS min_x, MIN(y) AS min_y,
+                 MAX(x) AS max_x, MAX(y) AS max_y
+          FROM v GROUP BY zone_id""",
+    }
+
 
     def pyramid_sql():
         selects = []
@@ -383,7 +510,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT image_id, (x - {qx}) * (x - {qx}) + (y - {qy}) * (y - {qy}) AS sq_dist
         FROM pts ORDER BY sq_dist, image_id LIMIT {k}"""
 
-    return {
+    out = {
         "cell_assign": f"{pc} SELECT image_id, x, y, cell_id, salt FROM pts",
         "cell_pyramid": pyramid_sql(),
         "bbox_window": f"""{pc} SELECT image_id, cell_id FROM pts
@@ -448,6 +575,21 @@ def oracle_sql() -> dict[str, str]:
                        || chr(0), '' ORDER BY image_id)) AS caption_sha
             FROM pts GROUP BY 1, 2""",
     }
+    rel_ids = ",".join(str(i) for i in REL_IDS)
+    probe_ids = ",".join(str(i) for i in MEMBER_PROBE_IDS)
+    out.update(zone_geom_oracle)
+    out["members_of"] = f"""
+        SELECT DISTINCT l_orderkey AS rel_id,
+               l_orderkey * 8 + l_linenumber AS member_id,
+               CAST(l_linenumber AS VARCHAR) AS role
+        FROM lineitem
+        WHERE l_orderkey IN ({rel_ids}) AND l_linenumber IN (1, 2, 3)"""
+    out["parents_of"] = f"""
+        SELECT DISTINCT l_orderkey * 8 + l_linenumber AS member_id,
+               l_orderkey AS rel_id
+        FROM lineitem
+        WHERE l_orderkey * 8 + l_linenumber IN ({probe_ids})"""
+    return out
 
 
 def _writer():

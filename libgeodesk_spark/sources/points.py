@@ -165,6 +165,38 @@ GATE_ZONES = {
 }
 
 
+def zone_rings_rows() -> list[tuple]:
+    """All gate zones as (zone_id, ring_id, role, ring) rows — the FIXTURES
+    'zones' table shape (one row per ring; ring_id 0 = outer)."""
+    rows = []
+    for name, rings in GATE_ZONES.items():
+        for i, ring in enumerate(rings):
+            role = "outer" if i == 0 else "inner"
+            rows.append((name, i, role, [{"x": x, "y": y} for x, y in ring]))
+    return rows
+
+
+def zones_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        zone_rings_rows(),
+        "zone_id string, ring_id int, role string, "
+        "ring array<struct<x: long, y: long>>")
+
+
+def zone_vertices_values_sql() -> str:
+    """Gate zone ring vertices as a VALUES relation
+    v(zone_id, ring_id, role, idx, x, y) — closed rings, idx 1-based."""
+    rows = []
+    for name, rings in GATE_ZONES.items():
+        for i, ring in enumerate(rings):
+            role = "outer" if i == 0 else "inner"
+            for j, (x, y) in enumerate(ring):
+                rows.append(f"('{name}',{i},'{role}',{j + 1},"
+                            f"CAST({x} AS BIGINT),CAST({y} AS BIGINT))")
+    return ("(VALUES " + ",".join(rows)
+            + ") AS v(zone_id, ring_id, role, idx, x, y)")
+
+
 def zone_edges_values_sql(rings: list[list[tuple[int, int]]]) -> str:
     """Polygon edges as an inline VALUES relation e(ax, ay, bx, by)."""
     rows = []

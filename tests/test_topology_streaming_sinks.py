@@ -1,0 +1,152 @@
+"""Topology joins, streaming ingest, and output sinks."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def membership(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(F.col("l_orderkey").alias("rel_id"),
+                     (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                     .alias("member_id"),
+                     F.col("l_linenumber").cast("string").alias("role")).distinct()
+
+
+class TestTopology:
+    def test_members_of(self, membership):
+        from libgeodesk_spark.operators.topology import members_of
+        rel_ids = [r.rel_id for r in membership.select("rel_id").distinct()
+                   .orderBy("rel_id").limit(3).collect()]
+        got = members_of(membership, rel_ids).toPandas()
+        assert set(got.rel_id) == set(rel_ids)
+        assert got.member_id.is_unique
+
+    def test_members_of_with_roles(self, membership):
+        from libgeodesk_spark.operators.topology import members_of
+        rel_ids = [r.rel_id for r in membership.select("rel_id").distinct()
+                   .limit(5).collect()]
+        got = members_of(membership, rel_ids, roles=["1", "2"]).toPandas()
+        assert set(got.role) <= {"1", "2"}
+
+    def test_parents_of(self, membership):
+        from libgeodesk_spark.operators.topology import parents_of
+        some = membership.limit(4).collect()
+        got = parents_of(membership, [r.member_id for r in some]).toPandas()
+        want = {(r.member_id, r.rel_id) for r in some}
+        assert want <= set(map(tuple, got[["member_id", "rel_id"]].values.tolist()))
+
+    def test_connected_to(self, spark):
+        from libgeodesk_spark.functions.cells import vertex_key
+        from libgeodesk_spark.operators.topology import (
+            connected_to,
+            parent_ways_of_vertex,
+        )
+        rows = [  # two ways sharing vertex (10, 10); third disjoint
+            ("w1", 0, 0), ("w1", 10, 10), ("w2", 10, 10), ("w2", 20, 0),
+            ("w3", 5, 5), ("w3", 6, 6),
+        ]
+        wv = spark.createDataFrame(rows, "way_id string, x long, y long") \
+            .withColumn("vkey", vertex_key(F.col("x"), F.col("y")))
+        assert [r.way_id for r in connected_to(wv, "w1").collect()] == ["w2"]
+        assert sorted(r.way_id for r in
+                      parent_ways_of_vertex(wv, 10, 10).collect()) == ["w1", "w2"]
+
+
+class TestStreaming:
+    def test_stream_cell_assign_matches_batch(self, spark, sf_dir, tmp_path):
+        from libgeodesk_spark.sources.points import derived_points
+        from libgeodesk_spark.streaming.ingest import (
+            start_append_sink,
+            stream_cell_assign,
+        )
+        pts = derived_points(spark, sf_dir).select("image_id", "x", "y")
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        # batch 1
+        pts.filter("pid % 2 = 0" if "pid" in pts.columns else "x % 2 = 0")
+        half1 = pts.filter(F.col("x") % 2 == 0)
+        half2 = pts.filter(F.col("x") % 2 != 0)
+        half1.write.parquet(src + "/b1")
+        stream = stream_cell_assign(spark, src + "/*", "image_id string, x long, y long")
+        q = start_append_sink(stream, out, ck)
+        q.awaitTermination(120)
+        # batch 2 arrives; availableNow trigger needs a new start
+        half2.write.parquet(src + "/b2")
+        q2 = start_append_sink(
+            stream_cell_assign(spark, src + "/*", "image_id string, x long, y long"),
+            out, ck)
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        from libgeodesk_spark.functions.cells import cell_id
+        want = pts.withColumn("cell_id", cell_id(F.col("x"), F.col("y"), 12))
+        assert got.count() == want.count()
+        assert got.select(F.sum("cell_id")).first()[0] == \
+            want.select(F.sum("cell_id")).first()[0]
+
+    def test_windowed_counts(self, spark, tmp_path):
+        import datetime
+        from libgeodesk_spark.streaming.ingest import stream_cell_counts
+        src = str(tmp_path / "ev")
+        base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [(base + datetime.timedelta(seconds=10 * i), 1000 + i, 2000)
+                for i in range(12)]
+        spark.createDataFrame(rows, "ts timestamp, x long, y long") \
+            .write.parquet(src + "/b1")
+        counts = stream_cell_counts(spark, src + "/*", "ts timestamp, x long, y long")
+        q = (counts.writeStream.format("memory").queryName("cc")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("select * from cc").toPandas()
+        assert got.n.sum() == 12
+        assert len(got) == 2   # two 1-minute windows
+
+
+class TestSinks:
+    def test_wkt_and_geojson(self, spark):
+        from libgeodesk_spark.sources.sinks import (
+            geojson_feature_collection,
+            point_geojson,
+            point_wkt,
+        )
+        df = spark.createDataFrame([(0, 0, "a"), (89478485, 643000000, "b")],
+                                   "x long, y long, name string")
+        wkt = [r[0] for r in df.select(point_wkt(F.col("x"), F.col("y"))).collect()]
+        assert wkt[0] == "POINT (0.0 0.0)"
+        assert wkt[1].startswith("POINT (7.5")   # 7.49999997 @1e-7 → 7.5
+        gj = df.select(point_geojson(F.col("x"), F.col("y"),
+                                     {"name": F.col("name")}).alias("j")).collect()
+        parsed = json.loads(gj[0].j)
+        assert parsed["type"] == "Feature"
+        assert parsed["properties"]["name"] == "a"
+        fc = json.loads(geojson_feature_collection(df, props=["name"]))
+        assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+
+    def test_geojsonl_and_csv_write(self, spark, tmp_path):
+        from libgeodesk_spark.sources.sinks import write_csv, write_geojsonl
+        df = spark.createDataFrame([(1, 2, "x"), (3, 4, "y")],
+                                   "x long, y long, name string")
+        gj_dir = str(tmp_path / "gj")
+        write_geojsonl(df, gj_dir, props=["name"])
+        lines = [json.loads(ln) for ln in spark.read.text(gj_dir)
+                 .toPandas().value.tolist()]
+        assert {ln["properties"]["name"] for ln in lines} == {"x", "y"}
+        csv_dir = str(tmp_path / "csv")
+        write_csv(df, csv_dir, ["name", "x"])
+        back = spark.read.option("header", True).csv(csv_dir).toPandas()
+        assert list(back.columns) == ["name", "x"]
+        assert sorted(back.name) == ["x", "y"]
+
+    def test_ring_wkt(self, spark):
+        from libgeodesk_spark.sources.points import zones_df
+        from libgeodesk_spark.sources.sinks import ring_wkt
+        z = zones_df(spark).limit(1)
+        w = z.select(ring_wkt(F.col("ring")).alias("w")).first().w
+        assert w.startswith("POLYGON ((") and w.endswith("))")
+        assert w.count(",") >= 3
