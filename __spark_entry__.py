@@ -106,7 +106,8 @@ def _q_within(zname):
     def q(spark, sf_dir):
         from libgeodesk_spark.operators.spatial_join import join_zones
         return join_zones(_points(spark, sf_dir), [_zone(zname)],
-                          predicate="within").select("image_id", "cell_id")
+                          predicate="within", columns=["image_id", "cell_id"],
+                          single_pass=True).select("image_id", "cell_id")
     return q
 
 
@@ -114,7 +115,8 @@ def _q_intersects(zname):
     def q(spark, sf_dir):
         from libgeodesk_spark.operators.spatial_join import join_zones
         return join_zones(_points(spark, sf_dir), [_zone(zname)],
-                          predicate="intersects").select("image_id", "cell_id")
+                          predicate="intersects", columns=["image_id", "cell_id"],
+                          single_pass=True).select("image_id", "cell_id")
     return q
 
 
@@ -124,7 +126,8 @@ def _q_contains_point(spark, sf_dir):
     rows = [(pid, x, y, int(mercator.cell_id(x, y, 12))) for pid, x, y in PROBES]
     probes = spark.createDataFrame(rows, "probe_id string, x long, y long, cell_id long")
     return join_zones(probes, [_zone("comb")], predicate="contains_point",
-                      prefilter_bbox=False).select("probe_id")
+                      prefilter_bbox=False,
+                      columns=["probe_id"]).select("probe_id")
 
 
 def _q_knn(k):
@@ -193,10 +196,71 @@ def _q_orders_by_segment(spark, sf_dir):
                   .alias("total_cents")))
 
 
+# --- crossing segments (J4), cell ring, embedding near-dup -----------------
+
+def _q_crosses(spark, sf_dir):
+    """Segments (consecutive pids) that cross the comb zone boundary —
+    the `crossing(f)` analog (CrossesFilter.cpp:10-41): exact
+    chain-intersection via the vectorized kernel."""
+    import pandas as pd
+
+    pts = _points(spark, sf_dir).select("pid", "x", "y")
+    a, b = pts.alias("a"), pts.alias("b")
+    seg = a.join(b, F.col("b.pid") == F.col("a.pid") + 1) \
+        .select(F.col("a.pid").alias("seg_id"),
+                F.col("a.x").alias("x1"), F.col("a.y").alias("y1"),
+                F.col("b.x").alias("x2"), F.col("b.y").alias("y2"))
+    edges = _zone("comb").edges
+    bc = spark.sparkContext.broadcast(edges)
+
+    def cross(batches):
+        from libgeodesk_spark.geom import kernel
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hit = kernel.any_segment_crosses(
+                pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
+                pdf["x2"].to_numpy(), pdf["y2"].to_numpy(), bc.value)
+            yield pdf.loc[hit, ["seg_id"]]
+
+    return seg.mapInPandas(cross, schema="seg_id long")
+
+
+RING_R = 3
+
+
+def _q_cell_ring(spark, sf_dir):
+    """Point counts over the Chebyshev ring-<=3 cells around the kNN query
+    cell (the kNN candidate pre-window, PointDistanceFilter.cpp:16-22)."""
+    from libgeodesk_spark import mercator
+    from libgeodesk_spark.operators.knn import _ring_cells
+    qcol = int(mercator.col_from_x(KNN_Q[0], 12))
+    qrow = int(mercator.row_from_y(KNN_Q[1], 12))
+    cells = [c for r in range(RING_R + 1) for c in _ring_cells(qcol, qrow, r, 12)]
+    return (_points(spark, sf_dir).filter(F.col("cell_id").isin(cells))
+            .groupBy("cell_id").agg(F.count("*").alias("n")))
+
+
+EMB_NEAR_THRESH = None  # set below via module constant
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs: exact quantized-L2 self-join below a
+    threshold (the embedding-cosine near-dup analog, exact for the gate)."""
+    from libgeodesk_spark.operators.ann import quantized_sq_l2
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    d2 = quantized_sq_l2(F.col("ea"), F.col("eb")).alias("d2")
+    return pairs.select("id_a", "id_b", d2).filter(F.col("d2") <= EMB_NEAR_D2)
+
+
 # --- text / dedup / ANN / GOQL / tile-agg ----------------------------------
 
 ANN_QIDS = [0, 1, 2, 3, 4]
 GOQL_QUERY = "*[lang=en,fr][n_chars>300]"
+EMB_NEAR_D2 = 1_300_000   # quantized units² — ~0.5% of pairs at sf0.01
 
 
 def _docs(spark, sf_dir):
@@ -405,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_bbox": _q_zone_bbox,
         "members_of": _q_members_of,
         "parents_of": _q_parents_of,
+        "crossing_segments": _q_crosses,
+        "cell_ring": _q_cell_ring,
+        "emb_near_dup": _q_emb_near_dup,
     }
 
 
@@ -578,6 +645,27 @@ def oracle_sql() -> dict[str, str]:
     rel_ids = ",".join(str(i) for i in REL_IDS)
     probe_ids = ",".join(str(i) for i in MEMBER_PROBE_IDS)
     out.update(zone_geom_oracle)
+
+    from libgeodesk_spark import mercator as _m
+    from libgeodesk_spark.operators.knn import _ring_cells
+    from libgeodesk_spark.sources.points import crossing_segments_sql
+    out["crossing_segments"] = crossing_segments_sql(GATE_ZONES_COMB())
+    qcol = int(_m.col_from_x(KNN_Q[0], 12))
+    qrow = int(_m.row_from_y(KNN_Q[1], 12))
+    ring_cells = ",".join(
+        str(c) for r in range(RING_R + 1) for c in _ring_cells(qcol, qrow, r, 12))
+    out["cell_ring"] = f"""{pc}
+        SELECT cell_id, COUNT(*) AS n FROM pts
+        WHERE cell_id IN ({ring_cells}) GROUP BY cell_id"""
+    dexpr = ("CAST(round(CAST(x[1] AS DOUBLE) * 1000) AS BIGINT)"
+             " - CAST(round(CAST(x[2] AS DOUBLE) * 1000) AS BIGINT)")
+    out["emb_near_dup"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> ({dexpr}) * ({dexpr}))) AS BIGINT) AS d2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> ({dexpr}) * ({dexpr}))) AS BIGINT) <= {EMB_NEAR_D2}"""
     out["members_of"] = f"""
         SELECT DISTINCT l_orderkey AS rel_id,
                l_orderkey * 8 + l_linenumber AS member_id,
@@ -590,6 +678,11 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_orderkey * 8 + l_linenumber IN ({probe_ids})"""
     return out
+
+
+def GATE_ZONES_COMB():
+    from libgeodesk_spark.sources.points import GATE_ZONES
+    return GATE_ZONES["comb"]
 
 
 def _writer():

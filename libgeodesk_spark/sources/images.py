@@ -54,8 +54,19 @@ def size_for(pid: int) -> tuple[int, int]:
     return SIZES[(pid // 7) % 3], SIZES[(pid // 11) % 3]
 
 
-def attach_payload(points: DataFrame) -> DataFrame:
-    """points (image_id, pid, x, y, cell_id, salt, phash) → full image rows."""
+def attach_payload(points: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """points (image_id, pid, x, y, cell_id, salt, phash) → full image rows.
+
+    ``parallelism``: explicitly repartition before the (CPU-heavy) payload
+    generation. AQE coalesces upstream shuffles by BYTE size — a skinny
+    pid stream collapses to one partition, which would serialize the
+    per-image codec work; the explicit repartition restores width
+    (classic AQE-before-expensive-UDF footgun).
+    """
+    if parallelism is None:
+        parallelism = points.sparkSession.sparkContext.defaultParallelism
+    if parallelism:
+        points = points.repartition(parallelism)
 
     def gen(batches):
         for pdf in batches:
@@ -82,5 +93,6 @@ def attach_payload(points: DataFrame) -> DataFrame:
     return points.mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
-def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return attach_payload(derived_points(spark, sf_dir))
+def images_table(spark: SparkSession, sf_dir: str,
+                 parallelism: int | None = None) -> DataFrame:
+    return attach_payload(derived_points(spark, sf_dir), parallelism)

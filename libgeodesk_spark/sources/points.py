@@ -233,6 +233,45 @@ def locate_sql(rings: list[list[tuple[int, int]]],
             "edges": zone_edges_values_sql(rings)}
 
 
+def orientation_sql(x1, y1, x2, y2, px, py) -> str:
+    """Reference LineSegment::orientation as SQL (args are SQL exprs):
+    sign of q×d with the collinear on-segment refinement
+    (src/geom/LineSegment.cpp:17-36). Mirror of kernel.orientation."""
+    dx, dy = f"(({x2}) - ({x1}))", f"(({y2}) - ({y1}))"
+    qx, qy = f"(({px}) - ({x1}))", f"(({py}) - ({y1}))"
+    ccw = f"({qx} * {dy} - {qy} * {dx})"
+    d1 = f"({qx} * {dx} + {qy} * {dy})"
+    beyond = f"(({qx} - {dx}) * {dx} + ({qy} - {dy}) * {dy})"
+    return (f"sign(CASE WHEN {ccw} <> 0 THEN {ccw} "
+            f"WHEN {d1} > 0 THEN greatest({beyond}, 0) "
+            f"ELSE {d1} END)")
+
+
+def segments_intersect_sql(s1: tuple, s2: tuple) -> str:
+    """linesIntersect (LineSegment.cpp:43-53): both straddle tests ≤ 0.
+    ``s1``/``s2`` are 4-tuples of SQL expressions (x1,y1,x2,y2)."""
+    o1 = orientation_sql(*s1, s2[0], s2[1])
+    o2 = orientation_sql(*s1, s2[2], s2[3])
+    o3 = orientation_sql(*s2, s1[0], s1[1])
+    o4 = orientation_sql(*s2, s1[2], s1[3])
+    return f"(({o1}) * ({o2}) <= 0 AND ({o3}) * ({o4}) <= 0)"
+
+
+def crossing_segments_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """Oracle for the crossing-segments query: segments from consecutive
+    pids, kept iff they intersect any zone edge."""
+    cond = segments_intersect_sql(
+        ("s.x1", "s.y1", "s.x2", "s.y2"), ("e.ax", "e.ay", "e.bx", "e.by"))
+    return f"""
+    {points_cte()},
+    seg AS (
+      SELECT a.pid AS seg_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM pts a JOIN pts b ON b.pid = a.pid + 1)
+    SELECT DISTINCT s.seg_id
+    FROM seg s JOIN {zone_edges_values_sql(rings)} ON {cond}
+    """
+
+
 def within_sql(rings: list[list[tuple[int, int]]],
                select_cols: str = "image_id, cell_id",
                strict: bool = True) -> str:

@@ -73,7 +73,12 @@ def write_gol_layout(df: DataFrame, path: str,
     (out.repartition("part_cell")
         .sortWithinPartitions("part_cell", "_z")
         .drop("_z")
-        .write.mode("overwrite").partitionBy("part_cell").parquet(path))
+        .write.mode("overwrite")
+        # small row groups keep hot-cell files splittable: a dense cell's
+        # file must not collapse into one unsplittable 128MB row group
+        # (scan parallelism = row groups, not bytes)
+        .option("parquet.block.size", str(8 * 1024 * 1024))
+        .partitionBy("part_cell").parquet(path))
 
 
 def read_gol_layout(spark: SparkSession, path: str) -> DataFrame:

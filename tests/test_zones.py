@@ -10,8 +10,13 @@ direct kernel answer.
 import numpy as np
 
 from libgeodesk_spark.geom import kernel
-from libgeodesk_spark.geom.zones import BOUNDARY, INSIDE, prepare_zone
-from libgeodesk_spark.mercator import cell_bounds, cell_id
+from libgeodesk_spark.geom.zones import (
+    BOUNDARY,
+    INSIDE,
+    pack_colrow,
+    prepare_zone,
+)
+from libgeodesk_spark.mercator import col_from_x, row_from_y
 
 
 def ring(*pts):
@@ -21,72 +26,86 @@ def ring(*pts):
     return np.array(pts, dtype=np.int64)
 
 
-CELL = 1 << 20  # zoom-12 cell extent
+CELL16 = 1 << 16  # zoom-16 cover cell extent (COVER_ZOOM default)
+
+
+def cover_of(z, x, y):
+    return z.cover.get(int(pack_colrow(col_from_x(x, z.zoom),
+                                       row_from_y(y, z.zoom))))
 
 
 def test_tiny_zone_single_boundary_cell():
-    # polygon much smaller than one cell -> its cell(s) are BOUNDARY only
     z = prepare_zone("tiny", [ring((100, 100), (200, 100), (200, 200), (100, 200))])
     assert set(z.cover.values()) == {BOUNDARY}
     assert len(z.cover) >= 1
 
 
 def test_big_zone_has_inside_cells():
-    # polygon spanning ~8x8 cells -> interior cells INSIDE
-    s = 8 * CELL
+    s = 8 * CELL16
     z = prepare_zone("big", [ring((0, 0), (s, 0), (s, s), (0, s))])
     vals = list(z.cover.values())
-    assert vals.count(INSIDE) >= 36      # (8-2)^2 interior cells
-    assert vals.count(BOUNDARY) >= 28    # the rim
+    assert vals.count(INSIDE) >= 36
+    assert vals.count(BOUNDARY) >= 28
 
 
 def test_cover_vs_kernel_consistency():
     rng = np.random.default_rng(11)
-    # concave polygon spanning several cells
-    pts = [(0, 0), (5 * CELL, 0), (5 * CELL, 3 * CELL), (3 * CELL, 3 * CELL),
-           (3 * CELL, CELL), (2 * CELL, CELL), (2 * CELL, 4 * CELL), (0, 4 * CELL)]
+    pts = [(0, 0), (5 * CELL16, 0), (5 * CELL16, 3 * CELL16),
+           (3 * CELL16, 3 * CELL16), (3 * CELL16, CELL16), (2 * CELL16, CELL16),
+           (2 * CELL16, 4 * CELL16), (0, 4 * CELL16)]
     z = prepare_zone("concave", [ring(*pts)])
-    px = rng.integers(-CELL, 6 * CELL, 20000)
-    py = rng.integers(-CELL, 5 * CELL, 20000)
+    px = rng.integers(-CELL16, 6 * CELL16, 20000)
+    py = rng.integers(-CELL16, 5 * CELL16, 20000)
     direct = kernel.locate_points(px, py, z.edges)
 
-    cells = cell_id(px, py, 12)
     via = np.full(len(px), -1, dtype=np.int8)
-    for i, (c, x, y) in enumerate(zip(cells, px, py)):
-        cov = z.cover.get(int(c))
+    for i, (x, y) in enumerate(zip(px, py)):
+        cov = cover_of(z, int(x), int(y))
         if cov == INSIDE:
             via[i] = 1
         elif cov == BOUNDARY:
             via[i] = kernel.locate_points([x], [y], z.edges)[0]
-        # absent -> outside (-1)
     assert np.array_equal(np.where(direct == 0, 0, direct),
                           np.where(via == 0, 0, via))
 
 
 def test_inside_cells_really_inside():
-    s = 6 * CELL
+    s = 6 * CELL16
     z = prepare_zone("sq", [ring((0, 0), (s, 0), (s, s), (0, s))])
-    for c, v in z.cover.items():
-        mnx, mny, mxx, mxy = cell_bounds(c)
+    shift = 32 - z.zoom
+    for key, v in z.cover.items():
+        if v != INSIDE:
+            continue
+        col, row = key >> 20, key & ((1 << 20) - 1)
+        mnx = (col << shift) - (1 << 31)
+        mxy = (2**31 - 1) - (row << shift)
+        mny = mxy - (1 << shift) + 1
+        mxx = mnx + (1 << shift) - 1
         corners = np.array([[mnx, mny], [mxx, mny], [mnx, mxy], [mxx, mxy]])
         loc = kernel.locate_points(corners[:, 0], corners[:, 1], z.edges)
-        if v == INSIDE:
-            assert (loc == 1).all()
+        assert (loc == 1).all()
 
 
 def test_hole_cells_not_inside():
-    s = 8 * CELL
-    hole = ring((2 * CELL, 2 * CELL), (6 * CELL, 2 * CELL),
-                (6 * CELL, 6 * CELL), (2 * CELL, 6 * CELL))
+    s = 8 * CELL16
+    hole = ring((2 * CELL16, 2 * CELL16), (6 * CELL16, 2 * CELL16),
+                (6 * CELL16, 6 * CELL16), (2 * CELL16, 6 * CELL16))
     z = prepare_zone("holed", [ring((0, 0), (s, 0), (s, s), (0, s)), hole])
-    # center of the hole: its cell must be absent or BOUNDARY (not INSIDE)
-    c = int(cell_id(4 * CELL, 4 * CELL, 12))
-    assert z.cover.get(c) != INSIDE
+    assert cover_of(z, 4 * CELL16, 4 * CELL16) != INSIDE
 
 
 def test_vertex_on_cell_border():
-    # degenerate: a vertex exactly on a cell corner (FIXTURES.md zone0006)
-    mnx, mny, _, _ = cell_bounds(int(cell_id(0, 0, 12)))
+    # degenerate: a vertex exactly on a cover-cell corner (zone0006 analog)
+    mnx = (1000 << 16) - (1 << 31)
+    mxy = (2**31 - 1) - (2000 << 16)
+    mny = mxy - (1 << 16) + 1
     z = prepare_zone("deg", [ring((mnx, mny), (mnx + 10, mny), (mnx, mny + 10))])
     assert len(z.cover) >= 1
     assert all(v == BOUNDARY for v in z.cover.values())
+
+
+def test_custom_zoom():
+    s = 4 * (1 << 20)
+    z = prepare_zone("z12", [ring((0, 0), (s, 0), (s, s), (0, s))], zoom=12)
+    assert z.zoom == 12
+    assert INSIDE in set(z.cover.values())
