@@ -121,11 +121,9 @@ def run(spark, sf_dir: str, repl: int) -> dict:
     # raster<->vector leg: synth + re-encode + PSNR per image, grouped per
     # (cell, salt) — CPU-bound (no I/O), hot cell split by the salt column
     def q_reencode():
-        from libgeodesk_spark.operators.tileagg import tile_reencode_metrics
-        from libgeodesk_spark.sources.images import attach_payload
+        from libgeodesk_spark.operators.tileagg import synth_reencode_metrics
         from libgeodesk_spark.sources.points import derived_points
-        img = attach_payload(derived_points(spark, sf_dir))
-        return tile_reencode_metrics(img, salt_hot=True) \
+        return synth_reencode_metrics(derived_points(spark, sf_dir)) \
             .agg(F.sum("n_images")).collect()[0][0]
 
     timed("tiling_pyramid", q_tiling)

@@ -1,0 +1,158 @@
+"""Fluent query facade — the reference's ``Features`` API surface
+re-expressed over DataFrames.
+
+Reference (include/geodesk/feature/FeaturesBase.h, README.md:92-103):
+
+.. code-block:: cpp
+
+    Features world("world.gol");
+    Features pubs = world("na[amenity=pub]")(zurich_bbox).within(zurich);
+    for (Feature pub : pubs) ...
+
+Here every fluent call produces a new immutable :class:`Features` wrapping
+a lazily-composed DataFrame (the reference's View IR, View.h:18-62, is
+Catalyst's logical plan — we never materialize until a terminal call):
+
+.. code-block:: python
+
+    world = Features(images_df)
+    pubs = world("*[fmt=png]").bbox(x0, y0, x1, y1).within(zone)
+    pubs.count(); pubs.first(); list(pubs)
+
+Terminal ops mirror SURVEY §2.5: count/is_empty/first/one/collect;
+format sinks mirror §2.1 S5-S7.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+from libgeodesk_spark.geom.zones import PreparedZone
+
+
+class Features:
+    """Immutable fluent view over a point-feature DataFrame with x/y
+    Mercator columns (default ``x``/``y``)."""
+
+    def __init__(self, df: DataFrame, x: str = "x", y: str = "y"):
+        self._df = df
+        self._x = x
+        self._y = y
+
+    # -- composition (each returns a new Features; P1-P8, P9, J1-J6) --------
+
+    def _wrap(self, df: DataFrame) -> "Features":
+        return Features(df, self._x, self._y)
+
+    def __call__(self, goql: str, **kw) -> "Features":
+        """GOQL selector filter (the reference's query-string call)."""
+        from libgeodesk_spark.functions.goql import compile_goql
+        return self._wrap(self._df.filter(compile_goql(goql, **kw)))
+
+    def filter(self, predicate) -> "Features":
+        """Column predicate or python callable (P12 PredicateFilter —
+        FeaturesBase.h:349-354). A callable receives each Arrow batch as a
+        pandas DataFrame and returns a boolean mask — vectorized, never
+        per-row; prefer Column predicates when expressible."""
+        if callable(predicate) and not hasattr(predicate, "_jc"):
+            schema = self._df.schema
+
+            def apply_mask(batches):
+                for pdf in batches:
+                    if len(pdf):
+                        yield pdf.loc[predicate(pdf)]
+
+            return self._wrap(self._df.mapInPandas(apply_mask, schema=schema))
+        return self._wrap(self._df.filter(predicate))
+
+    def bbox(self, min_x: int, min_y: int, max_x: int, max_y: int) -> "Features":
+        """bbox window (P9; FeaturesBase.h:85-97)."""
+        from libgeodesk_spark.operators.spatial_join import bbox_filter
+        return self._wrap(bbox_filter(self._df, min_x, min_y, max_x, max_y,
+                                      self._x, self._y))
+
+    def within(self, zone: PreparedZone) -> "Features":
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        return self._wrap(join_zones(self._df, [zone], predicate="within",
+                                     x_col=self._x, y_col=self._y)
+                          .drop("zone_id"))
+
+    def intersecting(self, zone: PreparedZone) -> "Features":
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        return self._wrap(join_zones(self._df, [zone], predicate="intersects",
+                                     x_col=self._x, y_col=self._y)
+                          .drop("zone_id"))
+
+    def max_meters_from(self, meters: float, x: int, y: int) -> "Features":
+        from libgeodesk_spark.operators.knn import max_meters_from
+        return self._wrap(max_meters_from(self._df, meters, x, y,
+                                          x_col=self._x, y_col=self._y))
+
+    def nearest(self, x: int, y: int, k: int, id_col: str = "image_id") -> "Features":
+        from libgeodesk_spark.operators.knn import knn
+        return self._wrap(knn(self._df, x, y, k, id_col=id_col,
+                              x_col=self._x, y_col=self._y))
+
+    def connected_to(self, other_vertex_keys: DataFrame) -> "Features":
+        from libgeodesk_spark.functions.cells import vertex_key
+        keyed = self._df.withColumn(
+            "_vk", vertex_key(F.col(self._x), F.col(self._y)))
+        return self._wrap(keyed.join(F.broadcast(other_vertex_keys),
+                                     keyed["_vk"] == other_vertex_keys["vkey"],
+                                     "left_semi").drop("_vk"))
+
+    # -- terminal ops (A1-A6, FeatureUtils.cpp / FeaturesBase.h:61-109) -----
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def is_empty(self) -> bool:
+        return self._df.limit(1).count() == 0
+
+    def __bool__(self) -> bool:
+        return not self.is_empty()
+
+    def first(self) -> Row | None:
+        rows = self._df.take(1)
+        return rows[0] if rows else None
+
+    def one(self) -> Row:
+        """Exactly one result or raise (the reference's one() throws on
+        0 or >1, FeaturesBase.h:103-104)."""
+        rows = self._df.take(2)
+        if len(rows) != 1:
+            raise ValueError(f"one(): expected exactly 1 row, got "
+                             f"{'0' if not rows else '>1'}")
+        return rows[0]
+
+    def collect(self) -> list[Row]:
+        return self._df.collect()
+
+    def __iter__(self) -> Iterator[Row]:
+        return iter(self._df.toLocalIterator())
+
+    # -- sinks (S5-S7) -------------------------------------------------------
+
+    def to_geojsonl(self, path: str, props: list[str] | None = None) -> None:
+        from libgeodesk_spark.sources.sinks import write_geojsonl
+        write_geojsonl(self._df, path, self._x, self._y, props)
+
+    def to_geojson(self, props: list[str] | None = None, limit: int = 10000) -> str:
+        from libgeodesk_spark.sources.sinks import geojson_feature_collection
+        return geojson_feature_collection(self._df, self._x, self._y,
+                                          props, limit)
+
+    def to_csv(self, path: str, key_schema: list[str]) -> None:
+        from libgeodesk_spark.sources.sinks import write_csv
+        write_csv(self._df, path, key_schema)
+
+    def wkt(self) -> "F.Column":
+        from libgeodesk_spark.sources.sinks import point_wkt
+        return point_wkt(F.col(self._x), F.col(self._y))

@@ -107,6 +107,54 @@ def tile_reencode_metrics(images: DataFrame, salt_hot: bool = False) -> DataFram
     return images.groupBy(*keys).applyInPandas(agg, schema=METRICS_SCHEMA)
 
 
+def synth_reencode_metrics(points: DataFrame) -> DataFrame:
+    """Fused bench/pipeline variant: shuffle only skinny point rows by
+    (cell_id, salt), then synthesize payloads AND compute re-encode
+    metrics inside one Arrow stage — for workloads whose payloads are
+    generated (or fetched) per tile, this avoids shuffling bytes at all.
+    Semantics identical to attach_payload → tile_reencode_metrics(salt_hot)."""
+    from libgeodesk_spark.sources.images import caption_for, fmt_for, size_for
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        pids = pdf["pid"].astype("int64")
+        fmts = pids.map(fmt_for)
+        order = np.argsort(pdf["image_id"].to_numpy())
+        by_fmt: dict[str, list[int]] = {}
+        for pos in order:
+            by_fmt.setdefault(fmts.iloc[pos], []).append(pos)
+        for fmt in sorted(by_fmt):
+            sha = hashlib.sha256()
+            bytes_in = 0
+            bytes_out = 0
+            min_psnr = float("inf")
+            for pos in by_fmt[fmt]:
+                pid = int(pids.iloc[pos])
+                w, h = size_for(pid)
+                blob = codec.encode(codec.synth_pixels(pid, w, h), fmt)
+                px, f = codec.decode(blob)
+                out = codec.encode(px, f)
+                px2, _ = codec.decode(out)
+                min_psnr = min(min_psnr, codec.psnr(px, px2))
+                bytes_in += len(blob)
+                bytes_out += len(out)
+                sha.update(caption_for(pid).encode("utf-8"))
+                sha.update(b"\x00")
+            rows.append({
+                "cell_id": int(pdf["cell_id"].iloc[0]),
+                "fmt": fmt,
+                "n_images": len(by_fmt[fmt]),
+                "bytes_in": bytes_in,
+                "bytes_out": bytes_out,
+                "min_psnr": 999.0 if min_psnr == float("inf") else min_psnr,
+                "caption_sha": sha.hexdigest(),
+            })
+        return pd.DataFrame(rows, columns=[f.name for f in METRICS_SCHEMA.fields])
+
+    return points.groupBy("cell_id", "salt").applyInPandas(
+        agg, schema=METRICS_SCHEMA)
+
+
 def mosaic_tiles(images: DataFrame, tile_px: int = 64) -> DataFrame:
     """Vector→raster: render one raster per cell by averaging the decoded
     pixels of all images in the cell into a tile_px × tile_px canvas placed

@@ -1,0 +1,74 @@
+"""Fluent Features facade tests — the reference's README example shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libgeodesk_spark.api import Features
+from libgeodesk_spark.geom.zones import prepare_zone
+from libgeodesk_spark.sources.points import GATE_ZONES, X0, Y0, derived_points
+
+
+@pytest.fixture(scope="module")
+def world(spark, sf_dir):
+    df = derived_points(spark, sf_dir) \
+        .withColumn("fmt", F.when(F.col("pid") % 10 < 4, "png")
+                    .when(F.col("pid") % 10 < 8, "jpeg").otherwise("bmp"))
+    df.persist().count()
+    return Features(df)
+
+
+@pytest.fixture(scope="module")
+def comb():
+    return prepare_zone("comb", [np.array(r) for r in GATE_ZONES["comb"]])
+
+
+def test_fluent_chain(world, comb):
+    # the README.md:92-103 shape: query -> bbox -> spatial filter -> count
+    pngs = world("*[fmt=png]")
+    boxed = pngs.bbox(X0, Y0, X0 + 8_000_000, Y0 + 8_000_000)
+    inside = boxed.within(comb)
+    n = inside.count()
+    assert 0 < n < world.count()
+    # equivalent direct computation
+    from libgeodesk_spark.geom import kernel
+    pdf = world.df.filter("fmt = 'png'").select("x", "y").toPandas()
+    loc = kernel.locate_points(pdf.x.to_numpy(), pdf.y.to_numpy(), comb.edges)
+    assert n == int((loc == 1).sum())
+
+
+def test_terminals(world):
+    assert not world.is_empty()
+    assert bool(world)
+    assert world.first() is not None
+    empty = world.filter(F.lit(False))
+    assert empty.is_empty() and not bool(empty)
+    assert empty.first() is None
+    with pytest.raises(ValueError, match="one"):
+        world.one()
+    single = world.filter(F.col("pid") == world.first().pid)
+    assert single.one().pid == world.first().pid
+
+
+def test_callable_filter(world):
+    # P12: arbitrary predicate as a vectorized callable over Arrow batches
+    got = world.filter(lambda pdf: pdf.salt == 3).count()
+    want = world.df.filter("salt = 3").count()
+    assert got == want > 0
+
+
+def test_nearest_and_radius(world):
+    got = world.nearest(X0 + 4_000_000, Y0 + 4_000_000, 5)
+    assert got.count() == 5
+    r = world.max_meters_from(3000.0, X0 + 4_000_000, Y0 + 4_000_000)
+    assert r.count() >= 0
+
+
+def test_geojson_and_wkt(world):
+    import json
+    fc = json.loads(world.filter(F.col("salt") == 3).to_geojson(
+        props=["image_id"], limit=5))
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 5
+    w = world.df.select(world.wkt().alias("w")).first().w
+    assert w.startswith("POINT (")
