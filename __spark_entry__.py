@@ -303,6 +303,12 @@ def _q_ann_topk(spark, sf_dir):
     return brute_topk(emb, ANN_QIDS, 10)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from libgeodesk_spark.operators.ann import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, ANN_QIDS, 10)
+
+
 def _q_ann_lsh(spark, sf_dir):
     from libgeodesk_spark.operators.ann import lsh_bucket_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -457,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,          # rows-only (approximate variant)
+        "ann_ivf_topk": _q_ann_ivf,          # rows-only (approximate variant)
         "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
         "goql_filter": _q_goql,
         "tile_captions": _q_tile_captions,

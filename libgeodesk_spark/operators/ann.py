@@ -18,6 +18,7 @@ queries); the LSH variant turns the N side into bucket-pruned partitions.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,6 +83,83 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
            / F.sqrt(dot(F.col(vec_col), F.col(vec_col)))).alias("cos")
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), id_col)
     return (pairs.select("qid", F.col(id_col).alias("vec_id"), cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+# -- IVF (inverted file: coarse quantizer + probed lists) --------------------
+
+IVF_LISTS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(emb: DataFrame, n_lists: int = IVF_LISTS,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse quantizer: the vectors with the n_lists lowest
+    ids serve as centroids (k-means would need an iterative job; for the
+    scale path what matters is a FIXED, broadcastable quantizer — swap in
+    trained centroids without touching the query path)."""
+    rows = (emb.orderBy(id_col).limit(n_lists)
+            .select(vec_col).collect())
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Tag each vector with its nearest-centroid list id — one Arrow pass,
+    numpy matmul per batch (the batched cell-encode shape)."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    from pyspark.sql import types as T
+    # NOTE StructType.add mutates in place and df.schema is cached — build
+    # a fresh StructType instead of mutating the source schema
+    schema = T.StructType(list(emb.schema.fields)
+                          + [T.StructField("list_id", T.IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c = bc.value
+            # ||v-c||² = ||v||² - 2 v·c + ||c||²; argmin over centroids
+            d = (-2.0 * v @ c.T) + (c * c).sum(axis=1)[None, :]
+            pdf = pdf.copy()
+            pdf["list_id"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return emb.mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
+             n_lists: int = IVF_LISTS, nprobe: int = IVF_NPROBE,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: exact quantized-L2 rank within the query's nprobe
+    nearest lists. The assignment is one shuffle-free pass; at scale the
+    assigned table is written list-partitioned so probes prune partitions
+    (same storage trick as the cell layout)."""
+    cents = ivf_centroids(emb, n_lists, id_col, vec_col)
+    tagged = ivf_assign(emb, cents, vec_col)
+
+    q = tagged.filter(F.col(id_col).isin(query_ids)) \
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    # driver-side probe lists per query (q is tiny)
+    qrows = q.collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.array(r["qe"], dtype=np.float64)
+        d = ((cents - v) ** 2).sum(axis=1)
+        for lid in np.argsort(d)[:nprobe]:
+            probe_rows.append((r["qid"], int(lid)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, list_id int")
+    qdf = q.join(F.broadcast(probes), "qid")
+
+    cand = tagged.join(F.broadcast(qdf), "list_id") \
+        .filter(F.col(id_col) != F.col("qid"))
+    d2 = quantized_sq_l2(F.col("qe"), F.col(vec_col)).alias("d2")
+    w = Window.partitionBy("qid").orderBy("d2", id_col)
+    return (cand.select("qid", F.col(id_col).alias("vec_id"), d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 

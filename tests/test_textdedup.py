@@ -110,6 +110,15 @@ class TestAnn:
         a = set(map(tuple, approx[["qid", "vec_id"]].values.tolist()))
         assert len(e & a) >= len(e) * 0.3
 
+    def test_ivf_recall(self, emb):
+        from libgeodesk_spark.operators.ann import brute_topk, ivf_topk
+        exact = brute_topk(emb, self.QIDS, 5).toPandas()
+        approx = ivf_topk(emb, self.QIDS, 5).toPandas()
+        e = set(map(tuple, exact[["qid", "vec_id"]].values.tolist()))
+        a = set(map(tuple, approx[["qid", "vec_id"]].values.tolist()))
+        assert len(a) == len(e)
+        assert len(e & a) >= len(e) * 0.3
+
     def test_cosine_topk_sane(self, emb):
         from libgeodesk_spark.operators.ann import cosine_topk
         pdf = cosine_topk(emb, [0], 5).toPandas()
