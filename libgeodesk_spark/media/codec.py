@@ -36,17 +36,29 @@ JPEG_Q = 6  # quantization step -> MSE ~ (Q^2-1)/12 ~ 2.9 -> PSNR ~ 43.5 dB
 FORMATS = ("png", "jpeg", "bmp")
 
 
+_GRADIENT_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _gradient(w: int, h: int) -> np.ndarray:
+    base = _GRADIENT_CACHE.get((w, h))
+    if base is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack([
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ], axis=-1).astype(np.int16)
+        _GRADIENT_CACHE[(w, h)] = base
+    return base
+
+
 def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
-    """Deterministic procedural image: gradient + seeded noise (FIXTURES.md)."""
+    """Deterministic procedural image: gradient + seeded noise (FIXTURES.md).
+    The gradient base depends only on (w, h) and is cached per worker —
+    the seeded noise carries all the per-image variation."""
     rng = np.random.default_rng(seed & 0xFFFFFFFF)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack([
-        (xx * 255 // max(w - 1, 1)),
-        (yy * 255 // max(h - 1, 1)),
-        ((xx + yy) * 255 // max(w + h - 2, 1)),
-    ], axis=-1).astype(np.int16)
     noise = rng.integers(-32, 33, size=(h, w, 3), dtype=np.int16)
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    return np.clip(_gradient(w, h) + noise, 0, 255).astype(np.uint8)
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:

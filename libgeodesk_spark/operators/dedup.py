@@ -21,7 +21,7 @@ standard practice, reported via the metrics output, never silent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # 60-bit hash from the first 15 hex chars of md5 — identical in both engines

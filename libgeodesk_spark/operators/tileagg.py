@@ -151,8 +151,14 @@ def synth_reencode_metrics(points: DataFrame) -> DataFrame:
             })
         return pd.DataFrame(rows, columns=[f.name for f in METRICS_SCHEMA.fields])
 
-    return points.groupBy("cell_id", "salt").applyInPandas(
-        agg, schema=METRICS_SCHEMA)
+    # explicit hash repartition on the group keys: the shuffle input is
+    # skinny (tens of MB), so AQE would coalesce to ~2 partitions and
+    # serialize the per-group codec work; a fixed-width HashPartitioning on
+    # the same keys satisfies applyInPandas' distribution requirement with
+    # no extra exchange and is exempt from AQE coalescing.
+    n = points.sparkSession.sparkContext.defaultParallelism * 2
+    return points.repartition(n, "cell_id", "salt") \
+        .groupBy("cell_id", "salt").applyInPandas(agg, schema=METRICS_SCHEMA)
 
 
 def mosaic_tiles(images: DataFrame, tile_px: int = 64) -> DataFrame:

@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from libgeodesk_spark import mercator
-
 # ---------------------------------------------------------------------------
 # constants (shared verbatim by Spark + SQL)
 # ---------------------------------------------------------------------------
