@@ -170,7 +170,9 @@ def _q_colocated(spark, sf_dir):
 
 def _q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # midday literal: all data timestamps are at midnight, so the selected
+    # row set is invariant to the (unknown) driver session timezone
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 12:00:00"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
                  F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
@@ -616,7 +618,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
                    COUNT(*) AS count_order
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 12:00:00'
             GROUP BY l_returnflag, l_linestatus""",
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n,
