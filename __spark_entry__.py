@@ -228,6 +228,26 @@ def _q_crosses(spark, sf_dir):
     return seg.mapInPandas(cross, schema="seg_id long")
 
 
+def _q_distance_to_zone(spark, sf_dir):
+    from libgeodesk_spark.operators.distance import distance_to_zone
+    return distance_to_zone(_points(spark, sf_dir), _zone("convex"))
+
+
+def _q_user_sessions(spark, sf_dir):
+    """Window-function coverage: per-user session counts with a 30-minute
+    gap rule over the events stream table (lag + conditional cumsum)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(w)
+    marked = ev.withColumn("new_sess",
+                           F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (marked.groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
 RING_R = 3
 
 
@@ -481,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossing_segments": _q_crosses,
         "cell_ring": _q_cell_ring,
         "emb_near_dup": _q_emb_near_dup,
+        "distance_to_zone": _q_distance_to_zone,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -668,6 +690,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE cell_id IN ({ring_cells}) GROUP BY cell_id"""
     dexpr = ("CAST(round(CAST(x[1] AS DOUBLE) * 1000) AS BIGINT)"
              " - CAST(round(CAST(x[2] AS DOUBLE) * 1000) AS BIGINT)")
+    from libgeodesk_spark.operators.distance import distance_to_zone_sql
+    out["distance_to_zone"] = distance_to_zone_sql(GATE_ZONES["convex"])
+    out["user_sessions"] = """
+        WITH marked AS (
+          SELECT user_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                      OR lag(epoch(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events)
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM marked GROUP BY user_id"""
     out["emb_near_dup"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),

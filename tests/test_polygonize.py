@@ -1,0 +1,94 @@
+"""Polygonizer tests: fragment the gate zones' rings into shuffled open
+ways, reassemble, and verify locate results are identical to the originals
+(the reference Polygonizer's contract, Polygonizer.cpp:15-168)."""
+
+import numpy as np
+import pytest
+
+from libgeodesk_spark.geom import kernel
+from libgeodesk_spark.geom.polygonize import (
+    PolygonizeError,
+    assign_holes,
+    build_rings,
+    polygonize,
+)
+from libgeodesk_spark.geom.zones import rings_to_edges
+from libgeodesk_spark.sources.points import GATE_ZONES
+
+
+def fragment(ring: np.ndarray, rng, n_parts: int) -> list[np.ndarray]:
+    """Split a closed ring into open ways, randomly reversed/shuffled."""
+    ring = np.asarray(ring, dtype=np.int64)
+    body = ring[:-1]
+    cuts = sorted(rng.choice(len(body), size=min(n_parts, len(body) - 1),
+                             replace=False))
+    parts = []
+    idx = list(range(len(body))) + [0]
+    prev = 0
+    for c in cuts[1:]:
+        seg = ring[prev:c + 1]
+        if len(seg) >= 2:
+            parts.append(seg)
+        prev = c
+    parts.append(ring[prev:])
+    parts = [p for p in parts if len(p) >= 2]
+    out = []
+    for p in parts:
+        out.append(p[::-1].copy() if rng.random() < 0.5 else p.copy())
+    rng.shuffle(out)
+    return out
+
+
+@pytest.mark.parametrize("zname", ["convex", "comb", "holed"])
+def test_reassembly_preserves_locate(zname):
+    rng = np.random.default_rng(9)
+    rings = [np.array(r, dtype=np.int64) for r in GATE_ZONES[zname]]
+    ways = []
+    for r in rings:
+        ways.extend(fragment(r, rng, 4))
+    rebuilt = polygonize(ways)
+    assert len(rebuilt) == len(rings)
+
+    px = rng.integers(rings[0][:, 0].min() - 10**6,
+                      rings[0][:, 0].max() + 10**6, 5000)
+    py = rng.integers(rings[0][:, 1].min() - 10**6,
+                      rings[0][:, 1].max() + 10**6, 5000)
+    a = kernel.locate_points(px, py, rings_to_edges(rings))
+    b = kernel.locate_points(px, py, rings_to_edges(rebuilt))
+    assert np.array_equal(a, b)
+
+
+def test_closed_ways_pass_through():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    out = build_rings([sq])
+    assert len(out) == 1 and np.array_equal(out[0], sq)
+
+
+def test_dangling_raises():
+    with pytest.raises(PolygonizeError, match="dangling"):
+        build_rings([np.array([[0, 0], [10, 0]]),
+                     np.array([[10, 0], [10, 10]])])   # never closes
+
+
+def test_assign_holes_nesting():
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]])
+    hole = np.array([[20, 20], [80, 20], [80, 80], [20, 80], [20, 20]])
+    island = np.array([[40, 40], [60, 40], [60, 60], [40, 60], [40, 40]])
+    flags = dict()
+    for r, is_shell in assign_holes([outer, hole, island]):
+        flags[r[0, 0]] = is_shell
+    assert flags[0] is True        # outer: depth 0 -> shell
+    assert flags[20] is False      # hole: depth 1
+    assert flags[40] is True       # island in hole: depth 2 -> shell
+
+
+def test_multipart_fragments():
+    rng = np.random.default_rng(3)
+    rings = [np.array(r, dtype=np.int64) for r in GATE_ZONES["holed"]]
+    ways = []
+    for r in rings:
+        ways.extend(fragment(r, rng, 6))
+    rebuilt = build_rings(ways)
+    assert len(rebuilt) == 2
+    shells = [s for _, s in assign_holes(rebuilt)]
+    assert sorted(shells) == [False, True]
