@@ -248,6 +248,20 @@ def _q_user_sessions(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+KNN_BATCH_QUERIES = [
+    ("qa", 90_500_000, 642_500_000),
+    ("qb", 93_000_000, 644_000_000),
+    ("qc", 94_001_000, 643_001_000),   # inside the hot cell
+    ("qd", 89_100_000, 647_900_000),   # window corner
+    ("qe", 96_000_000, 641_000_000),
+]
+
+
+def _q_knn_batch(spark, sf_dir):
+    from libgeodesk_spark.operators.knn import knn_batch
+    return knn_batch(_points(spark, sf_dir), KNN_BATCH_QUERIES, 10)         .select("qid", "image_id", "sq_dist", "rank")
+
+
 RING_R = 3
 
 
@@ -503,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "distance_to_zone": _q_distance_to_zone,
         "user_sessions": _q_user_sessions,
+        "knn_batch": _q_knn_batch,
     }
 
 
@@ -690,6 +705,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE cell_id IN ({ring_cells}) GROUP BY cell_id"""
     dexpr = ("CAST(round(CAST(x[1] AS DOUBLE) * 1000) AS BIGINT)"
              " - CAST(round(CAST(x[2] AS DOUBLE) * 1000) AS BIGINT)")
+    knnb = " UNION ALL ".join(
+        f"SELECT '{q}' AS qid, image_id, "
+        f"(x - {qx}) * (x - {qx}) + (y - {qy}) * (y - {qy}) AS sq_dist "
+        f"FROM pts" for q, qx, qy in KNN_BATCH_QUERIES)
+    out["knn_batch"] = f"""{pc}, allq AS ({knnb})
+        SELECT qid, image_id, sq_dist, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY sq_dist, image_id) AS rank FROM allq)
+        WHERE rank <= 10"""
     from libgeodesk_spark.operators.distance import distance_to_zone_sql
     out["distance_to_zone"] = distance_to_zone_sql(GATE_ZONES["convex"])
     out["user_sessions"] = """

@@ -97,6 +97,71 @@ def knn(points: DataFrame, qx: int, qy: int, k: int,
                                               f"{y_col} long, sq_dist long")
 
 
+def knn_batch(points: DataFrame, queries: list[tuple], k: int,
+              zoom: int = mercator.MAX_ZOOM,
+              id_col: str = "image_id", x_col: str = "x", y_col: str = "y",
+              cell_col: str = "cell_id", start_r: int = 1,
+              max_rings: int = 64) -> DataFrame:
+    """Exact kNN for MANY query points in one Spark job.
+
+    queries = [(qid, qx, qy), ...]. Driver enumerates each query's cell
+    rings (tiny), broadcast-joins (cell_id, qid) against the points, ranks
+    by exact integer distance, and verifies the ring-expansion guarantee
+    per query: if any query's k-th distance can be beaten outside its
+    explored rings, those queries re-run with a wider radius. One shuffle
+    (the window) over candidate rows only; the candidate scan is
+    cell-IN-pruned. Results identical to per-query :func:`knn`.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    spark = points.sparkSession
+    pending = {qid: (int(qx), int(qy)) for qid, qx, qy in queries}
+    out_frames = []
+    r = start_r
+    while pending and r <= max_rings:
+        rows = []
+        for qid, (qx, qy) in pending.items():
+            qcol = int(col_from_x(qx, zoom))
+            qrow = int(row_from_y(qy, zoom))
+            for rr in range(r + 1):
+                for c in _ring_cells(qcol, qrow, rr, zoom):
+                    rows.append((qid, c, qx, qy))
+        qcells = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["qid", cell_col, "qx", "qy"]))
+        dx = F.col(x_col).cast("long") - F.col("qx")
+        dy = F.col(y_col).cast("long") - F.col("qy")
+        w = Window.partitionBy("qid").orderBy("sq_dist", id_col)
+        topk = (points.join(F.broadcast(qcells), cell_col)
+                .select("qid", id_col, x_col, y_col,
+                        (dx * dx + dy * dy).alias("sq_dist"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+        got = topk.toPandas()
+        done = []
+        for qid, (qx, qy) in list(pending.items()):
+            sub = got[got.qid == qid]
+            if len(sub) >= k:
+                qcol = int(col_from_x(qx, zoom))
+                qrow = int(row_from_y(qy, zoom))
+                mnx, mny, _, _ = cell_bounds(int(cell_from_col_row(
+                    (qcol - r) % (1 << zoom), (qrow + r) % (1 << zoom), zoom)))
+                _, _, mxx, mxy = cell_bounds(int(cell_from_col_row(
+                    (qcol + r) % (1 << zoom), (qrow - r) % (1 << zoom), zoom)))
+                gap = min(qx - mnx + 1, mxx + 1 - qx, qy - mny + 1, mxy + 1 - qy)
+                if int(sub.sq_dist.max()) < gap * gap:
+                    out_frames.append(sub)
+                    done.append(qid)
+        for qid in done:
+            del pending[qid]
+        r *= 2
+    result = pd.concat(out_frames, ignore_index=True) if out_frames else \
+        pd.DataFrame(columns=["qid", id_col, x_col, y_col, "sq_dist", "rank"])
+    return spark.createDataFrame(
+        result, f"qid string, {id_col} string, {x_col} long, {y_col} long, "
+                f"sq_dist long, rank long")
+
+
 def radius_units(points: DataFrame, qx: int, qy: int, max_sq_units: float,
                  zoom: int = mercator.MAX_ZOOM,
                  x_col: str = "x", y_col: str = "y") -> DataFrame:
