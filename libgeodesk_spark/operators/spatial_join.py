@@ -115,6 +115,8 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
     """
     spark = points.sparkSession
     min_loc = _MIN_LOC[predicate]
+    if not zones:
+        raise ValueError("join_zones requires at least one PreparedZone")
 
     if prefilter_bbox and zones:
         mnx = min(z.bbox[0] for z in zones)
