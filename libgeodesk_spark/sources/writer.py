@@ -85,6 +85,27 @@ def read_gol_layout(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed_payload(images: DataFrame, table: str, n_buckets: int = 16,
+                           key: str = "image_id") -> None:
+    """Payload side of the skinny-join discipline (SURVEY §7.4: "bytes must
+    never cross a shuffle unnecessarily"): store heavy payload columns
+    bucketed by the join key so membership results re-attach bytes with a
+    bucket-local join — no shuffle of the payload side, ever."""
+    (images.write.mode("overwrite")
+     .bucketBy(n_buckets, key).sortBy(key)
+     .format("parquet").saveAsTable(table))
+
+
+def attach_payload_bucketed(skinny: DataFrame, table: str,
+                            key: str = "image_id") -> DataFrame:
+    """Join membership/result rows (skinny) back to the bucketed payload
+    table. The payload side reads bucket-aligned — ``.explain`` shows no
+    Exchange under its scan."""
+    spark = skinny.sparkSession
+    payload = spark.table(table)
+    return skinny.join(payload, key)
+
+
 def scan_window(df: DataFrame, min_x: int, min_y: int, max_x: int, max_y: int,
                 part_zoom: int = DEFAULT_PART_ZOOM) -> DataFrame:
     """bbox window scan with explicit partition pruning: the TileIndexWalker

@@ -65,3 +65,39 @@ def test_morton_matches_numpy(spark):
 
     # locality sanity: nearby points have nearby keys more often than random
     assert len(set(want.tolist())) > 1900
+
+
+def test_bucketed_payload_reattach(spark, sf_dir, tmp_path):
+    """Bytes re-attach via a bucket-local join: the payload side shows no
+    Exchange in the physical plan (SURVEY §7.4 skinny-join discipline)."""
+    import os
+    from pyspark.sql import functions as F
+
+    from libgeodesk_spark.sources.images import images_table
+    from libgeodesk_spark.sources.writer import (
+        attach_payload_bucketed,
+        write_bucketed_payload,
+    )
+    img = images_table(spark, sf_dir).filter(F.col("salt") == 3) \
+        .select("image_id", "bytes", "caption")
+    spark.sql("DROP TABLE IF EXISTS payload_t")
+    import shutil
+    shutil.rmtree("/root/repo/spark-warehouse/payload_t", ignore_errors=True)
+    write_bucketed_payload(img, "payload_t", n_buckets=4)
+
+    skinny = images_table(spark, sf_dir).filter(F.col("salt") == 3) \
+        .select("image_id", "cell_id").limit(200)
+    joined = attach_payload_bucketed(skinny, "payload_t")
+    assert joined.count() == 200
+    assert set(joined.columns) >= {"image_id", "cell_id", "bytes", "caption"}
+    # the payload side must never shuffle on the join key: either the
+    # skinny side broadcasts (payload streams straight from its scan) or
+    # the bucketed layout satisfies the join distribution — in both cases
+    # no "Exchange hashpartitioning(image_id" over the payload columns
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(image_id[^\n]*", plan):
+        frag = plan[m.start():m.start() + 2000]
+        assert "bytes" not in frag.split("FileScan")[0], \
+            "payload bytes crossed a shuffle"
+    spark.sql("DROP TABLE IF EXISTS payload_t")
