@@ -19,6 +19,11 @@ The Spark-first analog computed here, once, driver-side:
   the vectorized locate kernel. OUTSIDE cells are simply absent — this is
   the partition-pruning set.
 
+The INSIDE/BOUNDARY/OUTSIDE cell classification is the same idea as the
+raster-interval approximation for polygon joins in the public literature
+(Raster Intervals, SIGMOD 2023; Raptor's raster-vector co-processing,
+VLDB 2019) — here with an exact refinement step instead of approximation.
+
 Cell classification is exact: a cell is BOUNDARY iff some edge intersects
 the (closed) cell box — via the separating-line test — else its corner
 parity decides INSIDE/OUTSIDE (same result as the reference's
