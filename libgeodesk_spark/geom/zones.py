@@ -147,13 +147,33 @@ def _segment_intersects_cells(ax, ay, bx, by, zoom) -> set[tuple[int, int]]:
 #: default cover granularity (finer than the zoom-12 storage cells)
 COVER_ZOOM = 16
 
+#: adaptive-zoom budget: keep a zone's bbox cover under ~this many cells so
+#: broadcast size and driver prep stay bounded for continent-scale zones
+MAX_COVER_CELLS = 1 << 16
+
+
+def _fit_zoom(min_x: int, min_y: int, max_x: int, max_y: int,
+              want: int = COVER_ZOOM) -> int:
+    """Largest zoom ≤ ``want`` whose bbox cover stays under MAX_COVER_CELLS
+    — a giant zone gets a coarser cover (fewer, bigger turbo cells; the
+    boundary band stays exact) instead of an unbounded one."""
+    z = want
+    while z > 0:
+        cols = ((max_x - min_x) >> (32 - z)) + 2
+        rows = ((max_y - min_y) >> (32 - z)) + 2
+        if cols * rows <= MAX_COVER_CELLS:
+            return z
+        z -= 1
+    return 0
+
 
 def prepare_zone(zone_id: str, rings: list[np.ndarray],
-                 zoom: int = COVER_ZOOM) -> PreparedZone:
-    """Segmentize rings and classify the zoom-level cell cover."""
+                 zoom: int | None = None) -> PreparedZone:
+    """Segmentize rings and classify the cell cover. ``zoom=None`` picks
+    the finest zoom (≤ COVER_ZOOM) whose cover fits MAX_COVER_CELLS."""
     edges = rings_to_edges(rings)
     if len(edges) == 0:
-        return PreparedZone(zone_id, edges, (0, 0, 0, 0), zoom, {})
+        return PreparedZone(zone_id, edges, (0, 0, 0, 0), zoom or COVER_ZOOM, {})
     min_x = int(min(edges[:, 0].min(), edges[:, 2].min()))
     max_x = int(max(edges[:, 0].max(), edges[:, 2].max()))
     min_y = int(min(edges[:, 1].min(), edges[:, 3].min()))
@@ -162,6 +182,8 @@ def prepare_zone(zone_id: str, rings: list[np.ndarray],
         raise ValueError(
             f"zone {zone_id} spans >= 2^30 units; exact int64 kernel "
             f"contract violated — split the zone or lower the index zoom")
+    if zoom is None:
+        zoom = _fit_zoom(min_x, min_y, max_x, max_y)
 
     boundary: set[tuple[int, int]] = set()
     for ax, ay, bx, by in edges:

@@ -125,11 +125,25 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
         mxy = max(z.bbox[3] for z in zones)
         points = bbox_filter(points, mnx, mny, mxx, mxy, x_col, y_col)
 
+    # adaptive cover zooms may differ per zone: process per zoom group
+    zooms = sorted({z.zoom for z in zones})
+    if len(zooms) > 1:
+        parts = [join_zones(points, [z for z in zones if z.zoom == zm],
+                            predicate=predicate, cell_col=cell_col,
+                            x_col=x_col, y_col=y_col,
+                            prefilter_bbox=prefilter_bbox, columns=columns,
+                            single_pass=single_pass,
+                            spread_boundary=spread_boundary)
+                 for zm in zooms]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    cover_zoom = zooms[0]
+
     out_cols = list(columns) if columns is not None else \
         [c for c in points.columns]
     need = list(dict.fromkeys(out_cols + [x_col, y_col]))
-    cover_zoom = zones[0].zoom if zones else 16
-    assert all(z.zoom == cover_zoom for z in zones), "mixed cover zooms"
     points = points.select(
         *need, cover_key_col(F.col(x_col), F.col(y_col), cover_zoom)
         .alias("_ck"))

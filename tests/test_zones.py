@@ -109,3 +109,27 @@ def test_custom_zoom():
     z = prepare_zone("z12", [ring((0, 0), (s, 0), (s, s), (0, s))], zoom=12)
     assert z.zoom == 12
     assert INSIDE in set(z.cover.values())
+
+
+def test_adaptive_zoom_giant_zone():
+    # a near-continent zone must get a coarser cover, bounded in size
+    from libgeodesk_spark.geom.zones import MAX_COVER_CELLS
+    s = (1 << 28)   # span 2^29, inside the kernel contract
+    z = prepare_zone("giant", [ring((-s, -s), (s, -s), (s, s), (-s, s))])
+    assert z.zoom < 16
+    assert len(z.cover) <= MAX_COVER_CELLS
+    assert INSIDE in set(z.cover.values())
+    # membership still exact at any zoom
+    import numpy as np
+    rng = np.random.default_rng(1)
+    px = rng.integers(-s - 1000, s + 1000, 2000)
+    py = rng.integers(-s - 1000, s + 1000, 2000)
+    direct = kernel.locate_points(px, py, z.edges)
+    via = np.full(len(px), -1, dtype=np.int8)
+    for i, (x, y) in enumerate(zip(px, py)):
+        cov = cover_of(z, int(x), int(y))
+        if cov == INSIDE:
+            via[i] = 1
+        elif cov == BOUNDARY:
+            via[i] = kernel.locate_points([x], [y], z.edges)[0]
+    assert np.array_equal(direct, via)
