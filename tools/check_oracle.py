@@ -29,11 +29,18 @@ def norm_cell(v):
     return str(v)
 
 
+def dtype_kind(dtype) -> str:
+    k = getattr(dtype, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "O": "obj", "M": "ts", "S": "bytes"}.get(k, k)
+
+
 def normalize(df_pandas):
     cols = sorted(df_pandas.columns)
+    kinds = {c: dtype_kind(df_pandas[c].dtype) for c in cols}
     rows = sorted(tuple(norm_cell(v) for v in row)
                   for row in df_pandas[cols].itertuples(index=False, name=None))
-    return cols, rows
+    return cols, kinds, rows
 
 
 def main():
@@ -80,15 +87,17 @@ def main():
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
             continue
-        sc, sr = normalize(spark_pdf)
-        oc, orr = normalize(oracle_pdf)
+        sc, sk, sr = normalize(spark_pdf)
+        oc, ok_, orr = normalize(oracle_pdf)
         ok_cols = [c.lower() for c in sc] == [c.lower() for c in oc]
+        ok_kinds = all(sk[c] == ok_.get(c2, "?") for c, c2 in zip(sc, oc))
         ok_rows = sr == orr
-        status = "OK   " if (ok_cols and ok_rows) else "FAIL "
+        status = "OK   " if (ok_cols and ok_rows and ok_kinds) else "FAIL "
         print(f"{status} {name}: spark={len(sr)} oracle={len(orr)} rows, "
-              f"cols {'match' if ok_cols else f'{sc} vs {oc}'} "
+              f"cols {'match' if ok_cols else f'{sc} vs {oc}'}"
+              f"{'' if ok_kinds else f' KINDS {sk} vs {ok_}'} "
               f"({time.time() - t0:.1f}s)")
-        if not (ok_cols and ok_rows):
+        if not (ok_cols and ok_rows and ok_kinds):
             failures.append(name)
             # show first diffs
             sset, oset = set(sr), set(orr)
