@@ -74,6 +74,40 @@ def geojson_feature_collection(df: DataFrame, x="x", y="y",
             + ",\n".join(feats) + "\n]}")
 
 
+LEAFLET_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+<style>html,body,#map{{height:100%;margin:0}}</style></head>
+<body><div id="map"></div><script>
+var data = {geojson};
+var map = L.map('map');
+L.tileLayer('https://tile.openstreetmap.org/{{z}}/{{x}}/{{y}}.png',
+            {{maxZoom: 19, attribution: '&copy; OpenStreetMap'}}).addTo(map);
+var layer = L.geoJSON(data, {{
+  pointToLayer: function(f, ll) {{ return L.circleMarker(ll, {{radius: 4}}); }},
+  onEachFeature: function(f, l) {{
+    l.bindPopup(Object.entries(f.properties || {{}})
+      .map(function(kv) {{ return kv[0] + ': ' + kv[1]; }}).join('<br>'));
+  }}
+}}).addTo(map);
+map.fitBounds(layer.getBounds());
+</script></body></html>
+"""
+
+
+def write_leaflet_map(df: DataFrame, path: str, x="x", y="y",
+                      props: list[str] | None = None,
+                      title: str = "libgeodesk_spark map",
+                      limit: int = 10000) -> None:
+    """Self-contained Leaflet HTML map of the result set — the reference's
+    MapWriter sink (src/format/MapWriter.cpp:1-464). Bounded result sets
+    only (it is a report artifact, like the reference's use)."""
+    fc = geojson_feature_collection(df, x, y, props, limit)
+    with open(path, "w") as f:
+        f.write(LEAFLET_TEMPLATE.format(title=title, geojson=fc))
+
+
 def write_csv(df: DataFrame, path: str, key_schema: list[str]) -> None:
     """Key-schema projected CSV (CsvWriter/KeySchema): only the requested
     columns, in order, with header."""

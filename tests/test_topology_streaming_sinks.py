@@ -150,3 +150,23 @@ class TestSinks:
         w = z.select(ring_wkt(F.col("ring")).alias("w")).first().w
         assert w.startswith("POLYGON ((") and w.endswith("))")
         assert w.count(",") >= 3
+
+    def test_leaflet_map(self, spark, tmp_path):
+        import json as _json
+        from libgeodesk_spark.sources.sinks import write_leaflet_map
+        df = spark.createDataFrame([(89478485, 643000000, "a")],
+                                   "x long, y long, name string")
+        out = str(tmp_path / "map.html")
+        write_leaflet_map(df, out, props=["name"])
+        html = open(out).read()
+        assert html.startswith("<!DOCTYPE html>")
+        assert "L.geoJSON" in html and "FeatureCollection" in html
+        # the embedded GeoJSON is valid JSON
+        start = html.index('{"type":"FeatureCollection"')
+        depth = 0
+        for i, ch in enumerate(html[start:], start):
+            depth += ch == "{"
+            depth -= ch == "}"
+            if depth == 0:
+                _json.loads(html[start:i + 1])
+                break
