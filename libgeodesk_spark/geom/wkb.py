@@ -1,0 +1,84 @@
+"""WKB interop: accept Well-Known-Binary polygons as zone input — the
+analog of the reference's GEOS bridge (J10, PreparedFilterFactory.cpp:45-104
+builds prepared filters from arbitrary GEOS geometry) without a GEOS
+dependency: the standard WKB layout is decoded directly with numpy.
+
+Coordinates in the WKB are interpreted as lon/lat degrees and projected to
+int32 Mercator (the reference's GEOS bridge does the same unit conversion).
+Supported: Point, LineString, Polygon, MultiPolygon (both byte orders).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from libgeodesk_spark.mercator import np_x_from_lon, np_y_from_lat
+
+_POINT, _LINESTRING, _POLYGON, _MULTIPOLYGON = 1, 2, 3, 6
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = memoryview(data)
+        self.pos = 0
+
+    def u8(self) -> int:
+        v = self.data[self.pos]
+        self.pos += 1
+        return v
+
+    def u32(self, bo: str) -> int:
+        v = struct.unpack_from(bo + "I", self.data, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def coords(self, bo: str, n: int) -> np.ndarray:
+        arr = np.frombuffer(self.data, dtype=("<f8" if bo == "<" else ">f8"),
+                            count=2 * n, offset=self.pos).reshape(n, 2)
+        self.pos += 16 * n
+        return arr
+
+
+def _ring_to_merc(lonlat: np.ndarray) -> np.ndarray:
+    x = np_x_from_lon(lonlat[:, 0])
+    y = np_y_from_lat(lonlat[:, 1])
+    return np.stack([x, y], axis=1)
+
+
+def wkb_to_rings(data: bytes) -> list[np.ndarray]:
+    """WKB → list of closed int32-Mercator rings (Polygon/MultiPolygon),
+    or a single open polyline / point array (LineString/Point)."""
+    r = _Reader(data)
+    return _read_geometry(r)
+
+
+def _read_geometry(r: _Reader) -> list[np.ndarray]:
+    bo = "<" if r.u8() == 1 else ">"
+    gtype = r.u32(bo) & 0xFF   # mask Z/M/SRID flag variants
+    if gtype == _POINT:
+        return [_ring_to_merc(r.coords(bo, 1))]
+    if gtype == _LINESTRING:
+        return [_ring_to_merc(r.coords(bo, r.u32(bo)))]
+    if gtype == _POLYGON:
+        return [_ring_to_merc(r.coords(bo, r.u32(bo)))
+                for _ in range(r.u32(bo))]
+    if gtype == _MULTIPOLYGON:
+        rings: list[np.ndarray] = []
+        for _ in range(r.u32(bo)):
+            rings.extend(_read_geometry(r))
+        return rings
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def bbox_to_ring(min_x: int, min_y: int, max_x: int, max_y: int) -> np.ndarray:
+    """Box → 4-segment prepared polygon ring (J11, the reference's
+    ``forBox``, PreparedFilterFactory.cpp:96-104). Mercator units in."""
+    return np.array([[min_x, min_y], [max_x, min_y], [max_x, max_y],
+                     [min_x, max_y], [min_x, min_y]], dtype=np.int64)
+
+
+def prepare_zone_from_wkb(zone_id: str, data: bytes, zoom: int | None = None):
+    from libgeodesk_spark.geom.zones import prepare_zone
+    return prepare_zone(zone_id, wkb_to_rings(data), zoom=zoom)

@@ -1,0 +1,79 @@
+"""WKB zone-input tests (J10/J11): hand-built standard WKB, both byte
+orders, polygon with hole, multipolygon; bbox-as-polygon ring."""
+
+import struct
+
+import numpy as np
+
+from libgeodesk_spark import mercator as M
+from libgeodesk_spark.geom import kernel
+from libgeodesk_spark.geom.wkb import (
+    bbox_to_ring,
+    prepare_zone_from_wkb,
+    wkb_to_rings,
+)
+from libgeodesk_spark.geom.zones import rings_to_edges
+
+
+def wkb_polygon(rings, bo="<"):
+    tag = 1 if bo == "<" else 0
+    out = struct.pack("B", tag) + struct.pack(bo + "I", 3) \
+        + struct.pack(bo + "I", len(rings))
+    for ring in rings:
+        out += struct.pack(bo + "I", len(ring))
+        for lon, lat in ring:
+            out += struct.pack(bo + "dd", lon, lat)
+    return out
+
+
+def wkb_multipolygon(polys, bo="<"):
+    tag = 1 if bo == "<" else 0
+    out = struct.pack("B", tag) + struct.pack(bo + "I", 6) \
+        + struct.pack(bo + "I", len(polys))
+    for p in polys:
+        out += wkb_polygon(p, bo)
+    return out
+
+
+SQUARE = [(8.0, 47.0), (9.0, 47.0), (9.0, 48.0), (8.0, 48.0), (8.0, 47.0)]
+HOLE = [(8.4, 47.4), (8.6, 47.4), (8.6, 47.6), (8.4, 47.6), (8.4, 47.4)]
+
+
+def test_polygon_roundtrip_both_orders():
+    for bo in ("<", ">"):
+        rings = wkb_to_rings(wkb_polygon([SQUARE], bo))
+        assert len(rings) == 1 and rings[0].shape == (5, 2)
+        assert rings[0][0, 0] == M.x_from_lon(8.0)
+        assert rings[0][0, 1] == M.y_from_lat(47.0)
+
+
+def test_polygon_with_hole_locate():
+    z = prepare_zone_from_wkb("holed", wkb_polygon([SQUARE, HOLE]))
+    inside = (M.x_from_lon(8.2), M.y_from_lat(47.2))
+    in_hole = (M.x_from_lon(8.5), M.y_from_lat(47.5))
+    outside = (M.x_from_lon(7.0), M.y_from_lat(47.5))
+    loc = kernel.locate_points(
+        [inside[0], in_hole[0], outside[0]],
+        [inside[1], in_hole[1], outside[1]], z.edges)
+    assert list(loc) == [1, -1, -1]
+
+
+def test_multipolygon():
+    far = [(10.0, 47.0), (10.5, 47.0), (10.5, 47.5), (10.0, 47.5), (10.0, 47.0)]
+    rings = wkb_to_rings(wkb_multipolygon([[SQUARE], [far]]))
+    assert len(rings) == 2
+    edges = rings_to_edges(rings)
+    p1 = (M.x_from_lon(8.5), M.y_from_lat(47.3))
+    p2 = (M.x_from_lon(10.2), M.y_from_lat(47.2))
+    p3 = (M.x_from_lon(9.5), M.y_from_lat(47.2))
+    loc = kernel.locate_points([p1[0], p2[0], p3[0]],
+                               [p1[1], p2[1], p3[1]], edges)
+    assert list(loc) == [1, 1, -1]
+
+
+def test_bbox_to_ring():
+    ring = bbox_to_ring(0, 0, 100, 50)
+    edges = rings_to_edges([ring])
+    assert kernel.locate_points([50], [25], edges)[0] == 1
+    assert kernel.locate_points([101], [25], edges)[0] == -1
+    assert kernel.locate_points([100], [25], edges)[0] == 0
