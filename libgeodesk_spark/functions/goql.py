@@ -97,7 +97,10 @@ def _compile_clause(clause: str, resolver) -> Column:
     if op in ("~", "!~"):
         pat = rhs.strip("\"'")
         cond = v.rlike(f"^(?:{pat})$")       # std::regex full-match semantics
-        return cond if op == "~" else (v.isNotNull() & ~cond)
+        # negated clauses don't require the key (MatcherParser.cpp:139 sets
+        # KEY_REQUIRED only for non-negated ops) — missing keys pass !~,
+        # consistent with != below
+        return cond if op == "~" else (v.isNull() | ~cond)
 
     if op in (">", ">=", "<", "<="):
         if not _NUM.match(rhs):

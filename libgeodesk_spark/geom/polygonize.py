@@ -48,27 +48,33 @@ def build_rings(ways: list[np.ndarray]) -> list[np.ndarray]:
         endpoints.setdefault(tuple(w[-1]), []).append((i, False))
 
     used = [False] * len(open_ways)
+
+    def extend(chain: list[np.ndarray], cur: tuple, start: tuple) -> bool:
+        """DFS with backtracking: at nodes where >2 ways meet (valid OSM
+        multipolygons with rings touching at a point), the greedy first
+        candidate may strand the ring — try each alternative branch."""
+        if cur == start:
+            return True
+        for j, at_start in endpoints.get(cur, ()):
+            if used[j]:
+                continue
+            used[j] = True
+            seg = open_ways[j] if at_start else open_ways[j][::-1]
+            chain.append(seg[1:])
+            if extend(chain, tuple(seg[-1]), start):
+                return True
+            chain.pop()
+            used[j] = False
+        return False
+
     for i, w in enumerate(open_ways):
         if used[i]:
             continue
         used[i] = True
         chain = [w]
-        start = tuple(w[0])
-        cur = tuple(w[-1])
-        while cur != start:
-            nxt = None
-            for j, at_start in endpoints.get(cur, ()):
-                if not used[j]:
-                    nxt = (j, at_start)
-                    break
-            if nxt is None:
-                raise PolygonizeError(
-                    f"dangling endpoint {cur}: ways do not close a ring")
-            j, at_start = nxt
-            used[j] = True
-            seg = open_ways[j] if at_start else open_ways[j][::-1]
-            chain.append(seg[1:])
-            cur = tuple(seg[-1])
+        if not extend(chain, tuple(w[-1]), tuple(w[0])):
+            raise PolygonizeError(
+                f"dangling endpoint {tuple(w[-1])}: ways do not close a ring")
         ring = np.vstack(chain)
         if len(ring) >= 4:
             closed.append(ring)
@@ -84,15 +90,17 @@ def assign_holes(rings: list[np.ndarray]) -> list[tuple[np.ndarray, bool]]:
     centroid/area sign rules."""
     out = []
     for i, r in enumerate(rings):
-        # test one vertex of r against every other ring; vertices on the
-        # other ring's boundary don't count as inside (nesting is strict)
+        # test r against every other ring; vertices on the other ring's
+        # boundary don't decide nesting (rings touching at a point) — probe
+        # with the first vertex NOT on the other ring's boundary
         depth = 0
-        probe = r[0]
         for j, other in enumerate(rings):
             if i == j:
                 continue
             edges = rings_to_edges([other])
-            if kernel.locate_points([probe[0]], [probe[1]], edges)[0] == kernel.INSIDE:
+            loc = kernel.locate_points(r[:, 0], r[:, 1], edges)
+            decisive = loc[loc != kernel.BOUNDARY]
+            if len(decisive) and decisive[0] == kernel.INSIDE:
                 depth += 1
         out.append((r, depth % 2 == 0))
     return out

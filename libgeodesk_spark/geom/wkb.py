@@ -34,11 +34,12 @@ class _Reader:
         self.pos += 4
         return v
 
-    def coords(self, bo: str, n: int) -> np.ndarray:
+    def coords(self, bo: str, n: int, dims: int = 2) -> np.ndarray:
+        """Read n points of ``dims`` doubles each; keep x,y (Z/M dropped)."""
         arr = np.frombuffer(self.data, dtype=("<f8" if bo == "<" else ">f8"),
-                            count=2 * n, offset=self.pos).reshape(n, 2)
-        self.pos += 16 * n
-        return arr
+                            count=dims * n, offset=self.pos).reshape(n, dims)
+        self.pos += 8 * dims * n
+        return arr[:, :2]
 
 
 def _ring_to_merc(lonlat: np.ndarray) -> np.ndarray:
@@ -54,15 +55,41 @@ def wkb_to_rings(data: bytes) -> list[np.ndarray]:
     return _read_geometry(r)
 
 
+# EWKB (PostGIS) dimensionality / SRID flag bits in the type word
+_EWKB_Z, _EWKB_M, _EWKB_SRID = 0x80000000, 0x40000000, 0x20000000
+
+
+def _parse_type(r: _Reader, bo: str) -> tuple[int, int]:
+    """Decode the WKB type word → (base geometry type, dims per point).
+
+    Handles both EWKB flag bits (Z/M/SRID — the SRID word is consumed
+    here) and ISO 19125 type offsets (+1000 Z, +2000 M, +3000 ZM)."""
+    raw = r.u32(bo)
+    dims = 2
+    if raw & (_EWKB_Z | _EWKB_M | _EWKB_SRID):
+        dims += bool(raw & _EWKB_Z) + bool(raw & _EWKB_M)
+        if raw & _EWKB_SRID:
+            r.u32(bo)                      # skip the 4-byte SRID
+        base = raw & 0x1FFFFFFF
+    else:
+        base = raw
+    if base >= 1000:                       # ISO Z/M/ZM type offsets
+        offset, base = base // 1000, base % 1000
+        if offset not in (1, 2, 3):
+            raise ValueError(f"unsupported ISO WKB type offset {offset}000")
+        dims += 2 if offset == 3 else 1
+    return base, dims
+
+
 def _read_geometry(r: _Reader) -> list[np.ndarray]:
     bo = "<" if r.u8() == 1 else ">"
-    gtype = r.u32(bo) & 0xFF   # mask Z/M/SRID flag variants
+    gtype, dims = _parse_type(r, bo)
     if gtype == _POINT:
-        return [_ring_to_merc(r.coords(bo, 1))]
+        return [_ring_to_merc(r.coords(bo, 1, dims))]
     if gtype == _LINESTRING:
-        return [_ring_to_merc(r.coords(bo, r.u32(bo)))]
+        return [_ring_to_merc(r.coords(bo, r.u32(bo), dims))]
     if gtype == _POLYGON:
-        return [_ring_to_merc(r.coords(bo, r.u32(bo)))
+        return [_ring_to_merc(r.coords(bo, r.u32(bo), dims))
                 for _ in range(r.u32(bo))]
     if gtype == _MULTIPOLYGON:
         rings: list[np.ndarray] = []

@@ -32,20 +32,48 @@ from libgeodesk_spark.mercator import (
 
 
 def _ring_cells(qcol: int, qrow: int, r: int, zoom: int) -> list[int]:
-    """Cells at Chebyshev distance exactly r from (qcol, qrow)."""
+    """Cells at Chebyshev distance exactly r from (qcol, qrow). Cells
+    beyond the grid edge are skipped (clamped, NOT wrapped — the planar
+    Mercator grid has no wraparound neighbors; Tile.h neighbor math is
+    likewise planar)."""
     n = 1 << zoom
     if r == 0:
         return [int(cell_from_col_row(qcol, qrow, zoom))]
     cells = []
     for dc in range(-r, r + 1):
         for dr in (-r, r):
-            c, w = (qcol + dc) % n, (qrow + dr) % n
-            cells.append(int(cell_from_col_row(c, w, zoom)))
+            c, w = qcol + dc, qrow + dr
+            if 0 <= c < n and 0 <= w < n:
+                cells.append(int(cell_from_col_row(c, w, zoom)))
     for dr in range(-r + 1, r):
         for dc in (-r, r):
-            c, w = (qcol + dc) % n, (qrow + dr) % n
-            cells.append(int(cell_from_col_row(c, w, zoom)))
+            c, w = qcol + dc, qrow + dr
+            if 0 <= c < n and 0 <= w < n:
+                cells.append(int(cell_from_col_row(c, w, zoom)))
     return cells
+
+
+def _covered_gap(qx: int, qy: int, qcol: int, qrow: int, r: int,
+                 zoom: int) -> int | None:
+    """Min distance (units) from (qx,qy) to any point OUTSIDE the covered
+    box of rings 0..r. Sides clamped at the grid edge contribute no bound
+    (there is nothing beyond them). Returns None when the whole grid is
+    covered — no unexplored cell can beat any candidate."""
+    n = 1 << zoom
+    c0, c1 = max(qcol - r, 0), min(qcol + r, n - 1)
+    r0, r1 = max(qrow - r, 0), min(qrow + r, n - 1)
+    mnx, mny, _, _ = cell_bounds(int(cell_from_col_row(c0, r1, zoom)))
+    _, _, mxx, mxy = cell_bounds(int(cell_from_col_row(c1, r0, zoom)))
+    gaps = []
+    if c0 > 0:
+        gaps.append(qx - mnx + 1)
+    if c1 < n - 1:
+        gaps.append(mxx + 1 - qx)
+    if r1 < n - 1:          # larger row = smaller y: south edge
+        gaps.append(qy - mny + 1)
+    if r0 > 0:
+        gaps.append(mxy + 1 - qy)
+    return min(gaps) if gaps else None
 
 
 def sq_dist_col(x_col, y_col, qx: int, qy: int):
@@ -74,6 +102,7 @@ def knn(points: DataFrame, qx: int, qy: int, k: int,
 
     seen_cells: list[int] = []
     best = None
+    converged = False
     r = 0
     while r <= max_rings:
         seen_cells.extend(_ring_cells(qcol, qrow, r, zoom))
@@ -81,17 +110,20 @@ def knn(points: DataFrame, qx: int, qy: int, k: int,
             .select(id_col, x_col, y_col, sq) \
             .orderBy("sq_dist", id_col).limit(k)
         best = cand.collect()
-        if len(best) >= k:
-            # min possible squared distance to any cell beyond ring r:
-            # distance from q to the outside of the covered box
-            mnx, mny, _, _ = cell_bounds(int(cell_from_col_row(
-                (qcol - r) % (1 << zoom), (qrow + r) % (1 << zoom), zoom)))
-            _, _, mxx, mxy = cell_bounds(int(cell_from_col_row(
-                (qcol + r) % (1 << zoom), (qrow - r) % (1 << zoom), zoom)))
-            gap = min(qx - mnx + 1, mxx + 1 - qx, qy - mny + 1, mxy + 1 - qy)
-            if best[k - 1]["sq_dist"] < gap * gap:
-                break
+        # min possible squared distance to any cell beyond ring r: distance
+        # from q to the outside of the covered box (grid-clamped)
+        gap = _covered_gap(qx, qy, qcol, qrow, r, zoom)
+        if gap is None:
+            converged = True    # whole grid scanned — nothing left to beat
+            break
+        if len(best) >= k and best[k - 1]["sq_dist"] < gap * gap:
+            converged = True
+            break
         r += 1
+    if not converged:
+        raise RuntimeError(
+            f"knn did not converge within max_rings={max_rings}; "
+            f"raise max_rings or start at a coarser zoom")
 
     return spark.createDataFrame(best, schema=f"{id_col} string, {x_col} long, "
                                               f"{y_col} long, sq_dist long")
@@ -141,20 +173,20 @@ def knn_batch(points: DataFrame, queries: list[tuple], k: int,
         done = []
         for qid, (qx, qy) in list(pending.items()):
             sub = got[got.qid == qid]
-            if len(sub) >= k:
-                qcol = int(col_from_x(qx, zoom))
-                qrow = int(row_from_y(qy, zoom))
-                mnx, mny, _, _ = cell_bounds(int(cell_from_col_row(
-                    (qcol - r) % (1 << zoom), (qrow + r) % (1 << zoom), zoom)))
-                _, _, mxx, mxy = cell_bounds(int(cell_from_col_row(
-                    (qcol + r) % (1 << zoom), (qrow - r) % (1 << zoom), zoom)))
-                gap = min(qx - mnx + 1, mxx + 1 - qx, qy - mny + 1, mxy + 1 - qy)
-                if int(sub.sq_dist.max()) < gap * gap:
-                    out_frames.append(sub)
-                    done.append(qid)
+            qcol = int(col_from_x(qx, zoom))
+            qrow = int(row_from_y(qy, zoom))
+            gap = _covered_gap(qx, qy, qcol, qrow, r, zoom)
+            if gap is None or (len(sub) >= k
+                               and int(sub.sq_dist.max()) < gap * gap):
+                out_frames.append(sub)
+                done.append(qid)
         for qid in done:
             del pending[qid]
         r *= 2
+    if pending:
+        raise RuntimeError(
+            f"knn_batch: {sorted(pending)} did not converge within "
+            f"max_rings={max_rings}; raise max_rings")
     result = pd.concat(out_frames, ignore_index=True) if out_frames else \
         pd.DataFrame(columns=["qid", id_col, x_col, y_col, "sq_dist", "rank"])
     return spark.createDataFrame(

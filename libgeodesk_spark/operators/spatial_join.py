@@ -89,7 +89,7 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
                prefilter_bbox: bool = True,
                columns: list[str] | None = None,
                single_pass: bool = False,
-               spread_boundary: bool = True) -> DataFrame:
+               spread_boundary: bool = False) -> DataFrame:
     """points × zones point-in-polygon join.
 
     Returns ``columns`` (default: all input columns) plus ``zone_id`` — one
@@ -192,7 +192,8 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
         # stage. Worth it when the kernel work per row outweighs one extra
         # shuffle of the (skinny) boundary rows — i.e. very hot cells on
         # complex zone boundaries on a real cluster; measured locally the
-        # shuffle costs more than the straggler, so default False.
+        # shuffle costs more than the straggler, hence the False default
+        # (opt in for skewed clusters).
         bnd = bnd.repartition(spark.sparkContext.defaultParallelism * 2)
     out_schema = turbo.schema
 

@@ -50,7 +50,9 @@ class TestClauses:
 
     def test_regex(self, df):
         assert ids(df, '*[name~"[Cc]rown.*"]') == [3, 4]
-        assert ids(df, '*[name!~"[Cc]rown.*"]') == [1, 2, 5]  # null name excluded
+        # negated regex accepts missing keys (MatcherParser.cpp:139 sets
+        # KEY_REQUIRED only for non-negated clauses) — null name INCLUDED
+        assert ids(df, '*[name!~"[Cc]rown.*"]') == [1, 2, 5, 6]
 
     def test_numeric(self, df):
         # string→number coercion incl. '80.5'; 'bad' fails try_cast

@@ -229,3 +229,35 @@ class TestCrosses:
         assert not kernel.any_segment_crosses([20], [20], [80], [80], edges)[0]
         # fully outside
         assert not kernel.any_segment_crosses([-50], [-50], [-10], [-10], edges)[0]
+
+
+# --- kNN ring/gap helpers (grid-edge clamping, ADVICE knn.py:91) -----------
+
+def test_ring_cells_clamped_at_grid_edge():
+    from libgeodesk_spark.operators.knn import _ring_cells
+    cells = _ring_cells(0, 0, 1, 4)          # corner cell: ring-1 = 3 cells
+    assert len(cells) == 3
+    full = _ring_cells(5, 5, 1, 4)
+    assert len(full) == 8
+
+
+def test_covered_gap_clamps_and_exhausts():
+    from libgeodesk_spark.mercator import cell_bounds, cell_from_col_row
+    from libgeodesk_spark.operators.knn import _covered_gap
+    zoom = 4
+    mnx, mny, mxx, mxy = cell_bounds(int(cell_from_col_row(5, 5, zoom)))
+    qx, qy = (mnx + mxx) // 2, (mny + mxy) // 2
+    g = _covered_gap(qx, qy, 5, 5, 1, zoom)
+    assert g is not None and g > 0
+    # whole grid covered -> None (no unexplored cells remain)
+    assert _covered_gap(qx, qy, 5, 5, 16, zoom) is None
+    # covered box pinned to the west edge: west side contributes no bound
+    mnx0, _, mxx0, _ = cell_bounds(int(cell_from_col_row(0, 5, zoom)))
+    qx0 = (mnx0 + mxx0) // 2
+    g_edge = _covered_gap(qx0, qy, 0, 5, 0, zoom)
+    g_mid = _covered_gap(qx, qy, 5, 5, 0, zoom)
+    assert g_edge is not None and g_edge > 0
+    assert g_mid is not None and g_mid > 0
+    # at the corner with rows+cols clamped on two sides, still positive
+    g_corner = _covered_gap(qx0, qy, 0, 5, 5, zoom)
+    assert g_corner is not None and g_corner > 0

@@ -92,3 +92,36 @@ def test_multipart_fragments():
     assert len(rebuilt) == 2
     shells = [s for _, s in assign_holes(rebuilt)]
     assert sorted(shells) == [False, True]
+
+
+def test_rings_touching_at_point():
+    """Two rings sharing one vertex (4 way-endpoints meet at the node):
+    assembly must succeed and preserve locate parity regardless of which
+    branch is taken at the junction (backtracking case from RingBuilder)."""
+    a = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    b = np.array([[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]])
+    ways = [
+        np.array([[0, 0], [10, 0], [10, 10]]),
+        np.array([[10, 10], [20, 10], [20, 20]]),
+        np.array([[10, 10], [10, 20], [20, 20]]),   # both B-pieces start at node
+        np.array([[10, 10], [0, 10], [0, 0]]),
+    ]
+    rebuilt = build_rings(ways)
+    ref = rings_to_edges([a, b])
+    got = rings_to_edges(rebuilt)
+    px = np.arange(-2, 23)
+    for y in range(-2, 23):
+        la = kernel.locate_points(px, np.full(len(px), y), ref)
+        lb = kernel.locate_points(px, np.full(len(px), y), got)
+        assert np.array_equal(la, lb)
+
+
+def test_assign_holes_probe_on_boundary():
+    """Hole whose first vertex lies ON the shell boundary: nesting must be
+    decided by a vertex off the boundary (ADVICE: probe with a non-boundary
+    vertex)."""
+    shell = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]])
+    # hole's first vertex (50,0) sits on the shell's bottom edge
+    hole = np.array([[50, 0], [80, 30], [50, 60], [20, 30], [50, 0]])
+    flags = [s for _, s in assign_holes([shell, hole])]
+    assert flags == [True, False]

@@ -77,3 +77,60 @@ def test_bbox_to_ring():
     assert kernel.locate_points([50], [25], edges)[0] == 1
     assert kernel.locate_points([101], [25], edges)[0] == -1
     assert kernel.locate_points([100], [25], edges)[0] == 0
+
+
+def wkb_polygon_flags(rings, bo="<", ewkb_z=False, ewkb_m=False,
+                      srid=None, iso_offset=0, extra_dims=0):
+    """Polygon WKB with EWKB flag bits or ISO type offsets; pads each
+    point with ``extra_dims`` dummy doubles (the Z/M values)."""
+    tag = 1 if bo == "<" else 0
+    t = 3 + iso_offset * 1000
+    if ewkb_z:
+        t |= 0x80000000
+    if ewkb_m:
+        t |= 0x40000000
+    if srid is not None:
+        t |= 0x20000000
+    out = struct.pack("B", tag) + struct.pack(bo + "I", t)
+    if srid is not None:
+        out += struct.pack(bo + "I", srid)
+    out += struct.pack(bo + "I", len(rings))
+    for ring in rings:
+        out += struct.pack(bo + "I", len(ring))
+        for lon, lat in ring:
+            out += struct.pack(bo + "dd", lon, lat)
+            out += struct.pack(bo + f"{extra_dims}d", *([7.0] * extra_dims))
+    return out
+
+
+def test_ewkb_z_polygon():
+    plain = wkb_to_rings(wkb_polygon([SQUARE]))
+    z = wkb_to_rings(wkb_polygon_flags([SQUARE], ewkb_z=True, extra_dims=1))
+    assert np.array_equal(plain[0], z[0])
+
+
+def test_ewkb_zm_srid_polygon():
+    plain = wkb_to_rings(wkb_polygon([SQUARE]))
+    zm = wkb_to_rings(wkb_polygon_flags(
+        [SQUARE], ewkb_z=True, ewkb_m=True, srid=4326, extra_dims=2))
+    assert np.array_equal(plain[0], zm[0])
+
+
+def test_iso_z_polygon_both_orders():
+    plain = wkb_to_rings(wkb_polygon([SQUARE]))
+    for bo in ("<", ">"):
+        z = wkb_to_rings(wkb_polygon_flags([SQUARE], bo=bo, iso_offset=1,
+                                           extra_dims=1))
+        assert np.array_equal(plain[0], z[0])
+
+
+def test_iso_zm_polygon():
+    plain = wkb_to_rings(wkb_polygon([SQUARE]))
+    zm = wkb_to_rings(wkb_polygon_flags([SQUARE], iso_offset=3, extra_dims=2))
+    assert np.array_equal(plain[0], zm[0])
+
+
+def test_unsupported_iso_offset_raises():
+    import pytest
+    with pytest.raises(ValueError, match="ISO WKB type offset"):
+        wkb_to_rings(wkb_polygon_flags([SQUARE], iso_offset=4, extra_dims=1))
