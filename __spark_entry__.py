@@ -202,30 +202,72 @@ def _q_orders_by_segment(spark, sf_dir):
 
 def _q_crosses(spark, sf_dir):
     """Segments (consecutive pids) that cross the comb zone boundary —
-    the `crossing(f)` analog (CrossesFilter.cpp:10-41): exact
-    chain-intersection via the vectorized kernel."""
-    import pandas as pd
-
+    the `crossing(f)` analog (CrossesFilter.cpp:10-41) through the
+    cover-pruned path: only segments whose bbox touches a BOUNDARY cover
+    cell reach the Arrow kernel."""
+    from libgeodesk_spark.operators.spatial_join import crossing_segments
     pts = _points(spark, sf_dir).select("pid", "x", "y")
     a, b = pts.alias("a"), pts.alias("b")
     seg = a.join(b, F.col("b.pid") == F.col("a.pid") + 1) \
         .select(F.col("a.pid").alias("seg_id"),
                 F.col("a.x").alias("x1"), F.col("a.y").alias("y1"),
                 F.col("b.x").alias("x2"), F.col("b.y").alias("y2"))
-    edges = _zone("comb").edges
-    bc = spark.sparkContext.broadcast(edges)
+    return crossing_segments(seg, [_zone("comb")]).select("seg_id")
 
-    def cross(batches):
-        from libgeodesk_spark.geom import kernel
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            hit = kernel.any_segment_crosses(
-                pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
-                pdf["x2"].to_numpy(), pdf["y2"].to_numpy(), bc.value)
-            yield pdf.loc[hit, ["seg_id"]]
 
-    return seg.mapInPandas(cross, schema="seg_id long")
+# --- way / relation candidate predicates (J1/J2 for stored ways, J5 ways,
+# --- MUST_ACCEPT_ALL_MEMBERS relations) -------------------------------------
+
+WAY_DIST_METERS = 20_000.0
+
+
+def _ways(spark, sf_dir):
+    from libgeodesk_spark.sources.points import derived_ways
+    return derived_ways(spark, sf_dir)
+
+
+def _q_way_within(spark, sf_dir):
+    from libgeodesk_spark.operators.way_join import way_within
+    return way_within(_ways(spark, sf_dir), _zone("comb")).select("way_id")
+
+
+def _q_way_intersects(spark, sf_dir):
+    from libgeodesk_spark.operators.way_join import way_intersects
+    return way_intersects(_ways(spark, sf_dir), _zone("comb")).select("way_id")
+
+
+def _members(spark, sf_dir):
+    """Gate relations: rel_id = way_id, members = the way's consecutive
+    2-vertex segments — every relation has >= 1 member sticking out or in,
+    exercising MUST_ACCEPT_ALL_MEMBERS (locateMembers) for real."""
+    w = _ways(spark, sf_dir)
+    seg = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("ring") - 1),
+        lambda i: F.struct(
+            i.alias("member_id"),
+            F.array(F.element_at("ring", i),
+                    F.element_at("ring", i + 1)).alias("ring"))))
+    return (w.select(F.col("way_id").alias("rel_id"), seg.alias("m"))
+            .select("rel_id", F.col("m.member_id").alias("member_id"),
+                    F.col("m.ring").alias("ring"), F.lit(False).alias("is_area")))
+
+
+def _q_rel_within(spark, sf_dir):
+    from libgeodesk_spark.operators.way_join import rel_within
+    return rel_within(_members(spark, sf_dir), [_zone("comb")]) \
+        .select("rel_id")
+
+
+def _q_rel_intersects(spark, sf_dir):
+    from libgeodesk_spark.operators.way_join import rel_intersects
+    return rel_intersects(_members(spark, sf_dir), [_zone("comb")]) \
+        .select("rel_id")
+
+
+def _q_way_distance(spark, sf_dir):
+    from libgeodesk_spark.operators.way_join import way_max_meters_from
+    return way_max_meters_from(_ways(spark, sf_dir), WAY_DIST_METERS,
+                               KNN_Q[0], KNN_Q[1]).select("way_id", "d2")
 
 
 def _q_distance_to_zone(spark, sf_dir):
@@ -349,6 +391,12 @@ def _q_ann_lsh(spark, sf_dir):
     from libgeodesk_spark.operators.ann import lsh_bucket_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_topk(emb, ANN_QIDS, 10)
+
+
+def _q_ann_recall(spark, sf_dir):
+    from libgeodesk_spark.operators.ann import ann_recall
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall(emb, ANN_QIDS, 10)
 
 
 def _q_ann_cosine(spark, sf_dir):
@@ -501,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,          # rows-only (approximate variant)
         "ann_ivf_topk": _q_ann_ivf,          # rows-only (approximate variant)
         "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
+        "ann_recall": _q_ann_recall,         # rows-only (approx-path metric)
         "goql_filter": _q_goql,
         "tile_captions": _q_tile_captions,
         "tile_metrics": _q_tile_metrics,     # rows-only (binary payloads)
@@ -513,6 +562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "members_of": _q_members_of,
         "parents_of": _q_parents_of,
         "crossing_segments": _q_crosses,
+        "way_within": _q_way_within,
+        "way_intersects": _q_way_intersects,
+        "rel_within": _q_rel_within,
+        "rel_intersects": _q_rel_intersects,
+        "way_distance": _q_way_distance,
         "cell_ring": _q_cell_ring,
         "emb_near_dup": _q_emb_near_dup,
         "distance_to_zone": _q_distance_to_zone,
@@ -696,6 +750,21 @@ def oracle_sql() -> dict[str, str]:
     from libgeodesk_spark.operators.knn import _ring_cells
     from libgeodesk_spark.sources.points import crossing_segments_sql
     out["crossing_segments"] = crossing_segments_sql(GATE_ZONES_COMB())
+    from libgeodesk_spark.mercator import units_from_meters
+    from libgeodesk_spark.sources.points import (
+        rel_intersects_sql,
+        rel_within_sql,
+        way_distance_sql,
+        way_intersects_sql,
+        way_within_sql,
+    )
+    out["way_within"] = way_within_sql(GATE_ZONES_COMB())
+    out["way_intersects"] = way_intersects_sql(GATE_ZONES_COMB())
+    out["rel_within"] = rel_within_sql(GATE_ZONES_COMB())
+    out["rel_intersects"] = rel_intersects_sql(GATE_ZONES_COMB())
+    _wd_units = units_from_meters(WAY_DIST_METERS, KNN_Q[1])
+    out["way_distance"] = way_distance_sql(KNN_Q[0], KNN_Q[1],
+                                           _wd_units * _wd_units)
     qcol = int(_m.col_from_x(KNN_Q[0], 12))
     qrow = int(_m.row_from_y(KNN_Q[1], 12))
     ring_cells = ",".join(

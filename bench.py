@@ -78,18 +78,22 @@ def run(spark, sf_dir: str, repl: int) -> dict:
     n_images = pts.count()
 
     timings: dict[str, float] = {}
+    trials_detail: dict[str, list[float]] = {}
 
-    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
     def timed(name, fn):
-        best = None
+        """Median-of-N (not best-of-N): the headline number must be
+        reproducible by a single fresh `python bench.py`, so report the
+        central tendency and keep every per-trial time in the output."""
+        times = []
         out = None
         for _ in range(n_trials):
             t0 = time.time()
             out = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            times.append(round(time.time() - t0, 3))
+        trials_detail[name] = times
+        timings[name] = sorted(times)[len(times) // 2]
         return out
 
     # tiling: cell assignment + multi-level pyramid rollup (pure JVM)
@@ -141,6 +145,7 @@ def run(spark, sf_dir: str, repl: int) -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "trials": trials_detail,
         "sf": sf_dir,
         "n_images": n_images,
         "join_rows": join_rows,
@@ -151,17 +156,40 @@ def run(spark, sf_dir: str, repl: int) -> dict:
     }
 
 
+def env_fingerprint(cpus: int, repl: int) -> dict:
+    """Run metadata so any two bench JSONs can be compared honestly —
+    the sandbox VM has high run-to-run variance (same job 5-57 s),
+    so numbers without load context are not comparable."""
+    import platform
+
+    import pyspark
+    with open("/proc/loadavg") as f:
+        load1, load5, load15 = f.read().split()[:3]
+    return {
+        "cpus": cpus,
+        "repl": repl,
+        "trials_per_query": int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")),
+        "aggregation": "median",
+        "loadavg_at_start": [float(load1), float(load5), float(load15)],
+        "host_cpus": os.cpu_count(),
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "4"))
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    fingerprint = env_fingerprint(cpus, repl)
     # warm the JVM/codegen once at tiny scale so headline numbers measure
     # the engine, not session startup
     run(spark, "/root/testdata/sf0.001", 1)
     result = run(spark, sf_dir, repl)
     result["cpus"] = cpus
+    result["env"] = fingerprint
     print(json.dumps(result))
     spark.stop()
 

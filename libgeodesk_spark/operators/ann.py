@@ -91,17 +91,34 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
 
 IVF_LISTS = 16
 IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 4096
+IVF_TRAIN_ITERS = 10
 
 
 def ivf_centroids(emb: DataFrame, n_lists: int = IVF_LISTS,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic coarse quantizer: the vectors with the n_lists lowest
-    ids serve as centroids (k-means would need an iterative job; for the
-    scale path what matters is a FIXED, broadcastable quantizer — swap in
-    trained centroids without touching the query path)."""
-    rows = (emb.orderBy(id_col).limit(n_lists)
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  sample_size: int = IVF_TRAIN_SAMPLE,
+                  iters: int = IVF_TRAIN_ITERS) -> np.ndarray:
+    """Trained coarse quantizer: deterministic Lloyd k-means over a
+    bounded driver-side sample (the standard IVF training recipe — FAISS
+    trains on a sample too). Deterministic: the sample is the lowest
+    ``sample_size`` ids, init is k-means++-free first-k-distinct, ties in
+    assignment break toward the lower list id. The trained centroids are
+    a FIXED broadcastable quantizer — at scale, train once, store, and
+    load without touching the query path."""
+    rows = (emb.orderBy(id_col).limit(sample_size)
             .select(vec_col).collect())
-    return np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    n_lists = min(n_lists, len(x))
+    cents = x[:n_lists].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_lists):
+            sel = x[assign == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    return cents
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
@@ -166,8 +183,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
 
 # -- LSH (sign random projection) -------------------------------------------
 
-LSH_PLANES = 4
+LSH_PLANES = 4                  # floor; auto-scaling picks more for big N
 LSH_SEED = 0x9E3779B9
+LSH_TARGET_BUCKET = 128         # aim for ~this many vectors per bucket
 
 
 def _plane_component(p: int, i: int) -> float:
@@ -176,10 +194,23 @@ def _plane_component(p: int, i: int) -> float:
     return (h / float(1 << 31)) - 1.0
 
 
-def lsh_signature(vec_col, dim: int) -> "F.Column":
+def auto_planes(n_vectors: int,
+                target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Plane count so the expected bucket size ~ target: log2(N/target),
+    clamped to [LSH_PLANES, 24]. At N=1e9 this is ~23 planes; a fixed
+    small plane count makes each bucket N/2^planes — the round-1
+    scale-killer."""
+    import math
+    if n_vectors <= target_bucket:
+        return LSH_PLANES
+    return max(LSH_PLANES, min(24, math.ceil(math.log2(
+        n_vectors / target_bucket))))
+
+
+def lsh_signature(vec_col, dim: int, planes: int = LSH_PLANES) -> "F.Column":
     """Bit b = sign of dot(vec, plane_b) — computed as a JVM expression."""
     sig = F.lit(0).cast("long")
-    for p in range(LSH_PLANES):
+    for p in range(planes):
         comps = [F.lit(_plane_component(p, i)) for i in range(dim)]
         dot = None
         for i in range(dim):
@@ -189,21 +220,58 @@ def lsh_signature(vec_col, dim: int) -> "F.Column":
     return sig
 
 
+def _probe_sequence(dots: np.ndarray, planes: int, n_probes: int) -> list[int]:
+    """Query-directed multiprobe (Lv et al., VLDB 2007): the ``n_probes``
+    XOR masks with the lowest flip cost, where flipping plane p costs
+    |dot_p| (how far the query is from that hyperplane). Masks of up to 3
+    flipped planes are considered — enough for any practical probe count."""
+    costs = np.abs(dots[:planes])
+    masks = [(0.0, 0)]
+    for p in range(planes):
+        masks.append((costs[p], 1 << p))
+        for r in range(p + 1, planes):
+            masks.append((costs[p] + costs[r], (1 << p) | (1 << r)))
+            for s in range(r + 1, planes):
+                masks.append((costs[p] + costs[r] + costs[s],
+                              (1 << p) | (1 << r) | (1 << s)))
+    masks.sort()
+    return [m for _, m in masks[:n_probes]]
+
+
 def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int = 64,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    (plus hamming-1 multiprobe), exact quantized-L2 rank inside."""
-    sig = lsh_signature(F.col(vec_col), dim).alias("bucket")
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    planes: int | None = None,
+                    n_probes: int = 16) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    ``n_probes`` most promising LSH buckets (query-directed multiprobe),
+    exact quantized-L2 rank inside.
+
+    Scale shape: the probe-sequence LENGTH is fixed per query while the
+    bucket count 2^planes grows with the corpus (``planes=None`` =>
+    ~log2(N/target) planes), so the probed fraction shrinks as N grows —
+    at N=1e9 / 23 planes, 16 probes touch 16/8M buckets. Store the corpus
+    bucket-partitioned (:func:`write_lsh_layout`) so probes prune
+    partitions instead of scanning."""
+    if planes is None:
+        planes = auto_planes(emb.count())
+    sig = lsh_signature(F.col(vec_col), dim, planes).alias("bucket")
     tagged = emb.select(F.col(id_col), F.col(vec_col), sig)
-    q = tagged.filter(F.col(id_col).isin(query_ids)) \
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"),
-                F.col("bucket").alias("qbucket"))
-    # multiprobe: bucket XOR {0, 1<<p}
-    probes = F.explode(F.array(
-        F.col("qbucket"),
-        *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)]
-    )).alias("bucket")
-    qp = q.select("qid", "qe", probes)
+    q = emb.filter(F.col(id_col).isin(query_ids)) \
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    # queries are few and already bounded: plan probe buckets driver-side
+    qrows = q.collect()
+    plane_mat = np.array([[_plane_component(p, i) for i in range(dim)]
+                          for p in range(planes)])
+    probe_rows = []
+    for r in qrows:
+        v = np.array(r["qe"], dtype=np.float64)
+        dots = plane_mat @ v
+        qbucket = int(sum(1 << p for p in range(planes) if dots[p] > 0))
+        for m in _probe_sequence(dots, planes, n_probes):
+            probe_rows.append((r["qid"], qbucket ^ m))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, bucket long")
+    qp = q.join(F.broadcast(probes), "qid")
     pairs = tagged.join(F.broadcast(qp), "bucket") \
         .filter(F.col(id_col) != F.col("qid"))
     d2 = quantized_sq_l2(F.col("qe"), F.col(vec_col)).alias("d2")
@@ -211,3 +279,46 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int = 64,
     return (pairs.select("qid", F.col(id_col).alias("vec_id"), d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# -- bucket/list-partitioned storage (the scale path's layout) ---------------
+
+def write_lsh_layout(emb: DataFrame, path: str, dim: int = 64,
+                     planes: int = LSH_PLANES,
+                     vec_col: str = "embedding") -> None:
+    """Write the corpus partitioned by LSH bucket — probe queries then
+    read only their probe buckets (partition pruning), the ANN analog of
+    the cell-partitioned GOL layout."""
+    tagged = emb.withColumn(
+        "bucket", lsh_signature(F.col(vec_col), dim, planes))
+    tagged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def write_ivf_layout(emb: DataFrame, path: str,
+                     centroids: np.ndarray,
+                     vec_col: str = "embedding") -> None:
+    """Write the corpus partitioned by IVF list id (trained centroids)."""
+    tagged = ivf_assign(emb, centroids, vec_col)
+    tagged.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ann_recall(emb: DataFrame, query_ids: list[int], k: int,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the approximate paths (LSH, IVF) against the exact
+    brute-force baseline — the scale paths' quality metric, reported as a
+    first-class query so regressions surface in the gate."""
+    spark = emb.sparkSession
+    exact = {(r["qid"], r["vec_id"])
+             for r in brute_topk(emb, query_ids, k, id_col, vec_col).collect()}
+    rows = []
+    for method, df in (
+            ("lsh", lsh_bucket_topk(emb, query_ids, k, id_col=id_col,
+                                    vec_col=vec_col)),
+            ("ivf", ivf_topk(emb, query_ids, k, id_col=id_col,
+                             vec_col=vec_col, nprobe=8))):
+        got = {(r["qid"], r["vec_id"]) for r in df.collect()}
+        hits = len(got & exact)
+        rows.append((method, hits, len(exact),
+                     int(round(100.0 * hits / max(len(exact), 1)))))
+    return spark.createDataFrame(
+        rows, "method string, n_hits long, n_exact long, recall_pct long")

@@ -27,8 +27,14 @@ from pyspark.sql import functions as F
 # 60-bit hash from the first 15 hex chars of md5 — identical in both engines
 HEX_LEN = 15
 
-SIM_BITS = 32
-SIM_BANDS = 4                      # 4 bands × 8 bits
+# 60-bit simhash in 4×15-bit bands: the md5-derived 60-bit token hash keeps
+# cross-engine exactness in ONE integer, and a 15-bit band key has 32768
+# values — band buckets stay ~N/32768, so the banded self-join is linear-ish
+# at scale (a 32-bit/8-bit-band simhash degenerates to ~N²/1024 pairs; see
+# round-1 verdict). Pigeonhole still holds: hamming <= 3 < 4 bands => at
+# least one exact band match.
+SIM_BITS = 60
+SIM_BANDS = 4                      # 4 bands × 15 bits
 SIM_MAX_HAMMING = 3
 
 MH_PERMS = 8                       # minhash permutations
@@ -177,9 +183,13 @@ def shingles(df: DataFrame, col="text", id_col="doc_id",
           .select(id_col, F.expr(f"substring(t, i, {SHINGLE})").alias("sh")))
     out = sh.select(id_col, _h60(F.col("sh")).alias("sh")).distinct()
     if max_df is not None:
-        keep = out.groupBy("sh").agg(F.count("*").alias("df")) \
-            .filter(F.col("df") <= max_df).select("sh")
-        out = out.join(F.broadcast(keep), "sh").select(id_col, "sh")
+        # broadcast the DEGENERATE list (df > cap — tiny by construction:
+        # stop-shingles are the handful shared by everything) and anti-join;
+        # broadcasting the keep list would ship the near-full shingle
+        # vocabulary to every executor
+        degenerate = out.groupBy("sh").agg(F.count("*").alias("df")) \
+            .filter(F.col("df") > max_df).select("sh")
+        out = out.join(F.broadcast(degenerate), "sh", "left_anti")
     return out
 
 

@@ -60,11 +60,13 @@ def distance_to_zone(points: DataFrame, zone: PreparedZone,
     return points.select(id_col, x_col, y_col).mapInPandas(go, schema=out_schema)
 
 
-def _seg_d2_sql(px="p.x", py="p.y") -> str:
-    """Mirror of kernel.point_segment_sq_dist over the edge relation e
-    (exact expression-tree copy of Distance.cpp:8-37)."""
-    dx, dy = "CAST(e.bx - e.ax AS DOUBLE)", "CAST(e.by - e.ay AS DOUBLE)"
-    qx, qy = f"CAST({px} - e.ax AS DOUBLE)", f"CAST({py} - e.ay AS DOUBLE)"
+def _seg_d2_sql(px="p.x", py="p.y", ax="e.ax", ay="e.ay",
+                bx="e.bx", by="e.by") -> str:
+    """Mirror of kernel.point_segment_sq_dist: squared distance from point
+    (px,py) to segment (ax,ay)-(bx,by) — exact expression-tree copy of
+    Distance.cpp:8-37, reusable for zone edges AND way segments."""
+    dx, dy = f"CAST({bx} - {ax} AS DOUBLE)", f"CAST({by} - {ay} AS DOUBLE)"
+    qx, qy = f"CAST({px} - {ax} AS DOUBLE)", f"CAST({py} - {ay} AS DOUBLE)"
     dot1 = f"({qx} * {dx} + {qy} * {dy})"
     rx, ry = f"({dx} - {qx})", f"({dy} - {qy})"
     dot2 = f"({rx} * {dx} + {ry} * {dy})"

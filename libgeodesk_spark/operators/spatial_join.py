@@ -216,15 +216,48 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
 
 def crossing_segments(segments: DataFrame, zones: list[PreparedZone],
                       x1="x1", y1="y1", x2="x2", y2="y2",
-                      cover_key="cover_key") -> DataFrame:
-    """Segments (one row per candidate segment, pre-tagged with covering
-    cover keys) that cross any zone edge — the `crossing(f)` analog
-    (src/filter/CrossesFilter.cpp:10-41)."""
+                      join_zoom: int | None = None) -> DataFrame:
+    """Segments that cross any zone edge — the `crossing(f)` analog
+    (src/filter/CrossesFilter.cpp:10-41).
+
+    Cover-pruned: a crossing point lies ON a zone edge, and zone edges
+    exist only in BOUNDARY cells of the cover — so only segments whose
+    bbox touches a boundary cell are candidates. Segments are tagged with
+    coarse cover keys JVM-side (sequence explode of the bbox cell range),
+    broadcast-joined against the zones' BOUNDARY cells only, deduped, and
+    only that boundary band crosses into the Arrow kernel. Segments fully
+    inside or fully outside never pay Python.
+    """
+    from libgeodesk_spark.operators.way_join import (
+        _zone_cells_coarse,
+        fit_join_zoom,
+    )
     spark = segments.sparkSession
-    zc = zone_cells_df(spark, zones)
-    cand = segments.join(F.broadcast(zc), on=cover_key, how="inner")
+    if join_zoom is None:
+        span = max(max(z.bbox[2] - z.bbox[0], z.bbox[3] - z.bbox[1])
+                   for z in zones)
+        join_zoom = fit_join_zoom(zones, max(span, 1))
+    shift = 32 - join_zoom
+    mnxc = F.least(F.col(x1), F.col(x2))
+    mxxc = F.greatest(F.col(x1), F.col(x2))
+    mnyc = F.least(F.col(y1), F.col(y2))
+    mxyc = F.greatest(F.col(y1), F.col(y2))
+    c0 = F.shiftright(mnxc + F.lit(1 << 31), shift)
+    c1 = F.shiftright(mxxc + F.lit(1 << 31), shift)
+    r0 = F.shiftright(F.lit(0x7FFFFFFF) - mxyc, shift)
+    r1 = F.shiftright(F.lit(0x7FFFFFFF) - mnyc, shift)
+    tagged = segments.select(
+        "*", F.explode(F.sequence(c0, c1)).alias("_cc")).select(
+        "*", F.explode(F.sequence(r0, r1)).alias("_rr")).select(
+        *segments.columns,
+        (F.shiftleft(F.col("_cc"), 20) + F.col("_rr")).alias("cover_key"))
+
+    zc = _zone_cells_coarse(spark, zones, join_zoom) \
+        .filter(F.col("cover") == BOUNDARY).drop("cover")
+    cand = tagged.join(F.broadcast(zc), "cover_key", "inner") \
+        .dropDuplicates(segments.columns + ["zone_id"]).drop("cover_key")
     edges_bc = spark.sparkContext.broadcast({z.zone_id: z.edges for z in zones})
-    out_schema = cand.drop("cover").schema
+    out_schema = cand.schema
 
     def cross_batches(batches):
         for pdf in batches:
@@ -238,5 +271,4 @@ def crossing_segments(segments: DataFrame, zones: list[PreparedZone],
                     pdf[x2].to_numpy()[idx], pdf[y2].to_numpy()[idx], edges)
             yield pdf.loc[keep, [f.name for f in out_schema.fields]]
 
-    return cand.drop("cover").mapInPandas(cross_batches, schema=out_schema) \
-        .dropDuplicates()
+    return cand.mapInPandas(cross_batches, schema=out_schema)

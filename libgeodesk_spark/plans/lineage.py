@@ -73,36 +73,70 @@ class TileJob:
     def run(self, df: DataFrame,
             transform: Callable[[DataFrame], DataFrame],
             fail_bucket: int | None = None) -> dict:
-        """Process every bucket not yet DONE. ``transform`` maps the bucket
-        slice to its output. ``fail_bucket`` injects a failure AFTER
-        processing-but-before-commit for tests. Returns a summary."""
+        """Process every bucket not yet DONE — in ONE pass over the input.
+
+        The pending buckets are filtered and transformed together, written
+        ``partitionBy(bucket)`` into a staging dir (one scan of the input,
+        one write), then each bucket directory is atomically renamed into
+        place with its commit marker, in bucket order. A crash between
+        commits leaves earlier buckets DONE and later ones pending — the
+        rerun reprocesses only those (same exactly-once contract as the
+        reference's per-tile page swap, FeatureStore_Transaction.cpp:99-112,
+        without the old one-scan-per-bucket rescan).
+
+        ``transform`` maps the pending slice to its output and must keep
+        ``bucket_col``; per-bucket groupings are safe because bucket =
+        bucket_col % n never splits a group. ``fail_bucket`` injects a
+        failure BEFORE that bucket's commit (tests)."""
         done = self.done_buckets()
-        processed, skipped = [], []
-        for b in range(self.n_buckets):
-            if b in done:
-                skipped.append(b)
-                continue
-            t0 = time.time()
-            part = df.filter(F.col(self.bucket_col) % self.n_buckets == b)
-            out = transform(part)
-            final = os.path.join(self.out_dir, f"bucket={b}")
-            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-            n = out.count()
-            out.write.mode("overwrite").parquet(tmp)
-            if fail_bucket is not None and b == fail_bucket:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise RuntimeError(f"injected failure at bucket {b}")
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.rename(tmp, final)   # atomic commit of the bucket output
-            rec = {"job_id": self.job_id, "bucket": b, "status": "DONE",
-                   "rows": n, "seconds": round(time.time() - t0, 3),
-                   "ts": time.time()}
-            marker_tmp = self._marker(b) + ".tmp"
-            with open(marker_tmp, "w") as f:
-                json.dump(rec, f)
-            os.rename(marker_tmp, self._marker(b))
-            processed.append(b)
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        skipped = sorted(done)
+        if not pending:
+            return {"processed": [], "skipped": skipped,
+                    "n_buckets": self.n_buckets}
+        t0 = time.time()
+        spark = df.sparkSession
+        part = df.withColumn("bucket", F.col(self.bucket_col) % self.n_buckets) \
+            .filter(F.col("bucket").isin(pending))
+        out = transform(part)
+        if "bucket" not in out.columns:
+            out = out.withColumn(
+                "bucket", F.col(self.bucket_col) % self.n_buckets)
+        staging = os.path.join(self.out_dir,
+                               f"_staging-{uuid.uuid4().hex[:8]}")
+        out.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        # row counts from the written files' footers — no input rescan
+        try:
+            counts = {r["bucket"]: r["count"] for r in
+                      spark.read.parquet(staging).groupBy("bucket")
+                      .count().collect()}
+        except Exception:
+            counts = {}   # no data files: every pending bucket was empty
+        write_secs = round(time.time() - t0, 3)
+
+        processed = []
+        try:
+            for b in pending:
+                if fail_bucket is not None and b == fail_bucket:
+                    raise RuntimeError(f"injected failure at bucket {b}")
+                src = os.path.join(staging, f"bucket={b}")
+                final = os.path.join(self.out_dir, f"bucket={b}")
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                if os.path.exists(src):
+                    os.rename(src, final)   # atomic commit of the bucket
+                else:
+                    os.makedirs(final, exist_ok=True)   # empty bucket
+                rec = {"job_id": self.job_id, "bucket": b, "status": "DONE",
+                       "rows": int(counts.get(b, 0)),
+                       "seconds": write_secs, "ts": time.time()}
+                marker_tmp = self._marker(b) + ".tmp"
+                with open(marker_tmp, "w") as f:
+                    json.dump(rec, f)
+                os.rename(marker_tmp, self._marker(b))
+                processed.append(b)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return {"processed": processed, "skipped": skipped,
                 "n_buckets": self.n_buckets}
 

@@ -86,6 +86,35 @@ def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derived_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(way_id, ring, is_area) polyline candidates derived from the points:
+    way_id = orderkey (pid >> 3), vertices = the order's points sorted by
+    pid. Ways need >= 2 vertices; all gate ways are linestrings (the
+    area-way special cases are pytest-covered). Pure JVM: groupBy +
+    sorted collect_list, bit-identical to :func:`ways_vertices_sql`."""
+    pts = derived_points(spark, sf_dir)
+    ring = F.transform(
+        F.array_sort(F.collect_list(F.struct("pid", "x", "y"))),
+        lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")))
+    return (pts.groupBy(F.shiftright(F.col("pid"), 3).alias("way_id"))
+            .agg(ring.alias("ring"))
+            .filter(F.size("ring") >= 2)
+            .withColumn("is_area", F.lit(False)))
+
+
+def ways_vertices_sql() -> str:
+    """CTE text: ``wv`` = per-way vertices with a 1-based seq (pid order),
+    restricted to ways with >= 2 vertices — mirrors derived_ways."""
+    return f"""
+    wv AS (
+      SELECT way_id, pid, x, y,
+             row_number() OVER (PARTITION BY way_id ORDER BY pid) AS seq,
+             COUNT(*) OVER (PARTITION BY way_id) AS nv
+      FROM (SELECT pid // 8 AS way_id, pid, x, y FROM pts)
+      QUALIFY nv >= 2
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle side (generated SQL text with the same constants)
 # ---------------------------------------------------------------------------
@@ -289,4 +318,108 @@ def within_sql(rings: list[list[tuple[int, int]]],
       GROUP BY p.image_id, p.cell_id, p.x, p.y
     )
     SELECT {select_cols} FROM loc WHERE {cond}
+    """
+
+
+# ---------------------------------------------------------------------------
+# way-candidate oracle SQL (mirrors operators/way_join.py semantics:
+# WithinFilter.cpp:21-57 locateWayNodes, IntersectsFilter.cpp:36-75,
+# SpatialFilter.cpp:23-76 MUST_ACCEPT_ALL_MEMBERS)
+# ---------------------------------------------------------------------------
+
+def _way_vloc_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """CTE text locating every way vertex: ``vloc(way_id, pid, l)`` with
+    l in {-1, 0, 1} (locateWayNodes per-vertex values)."""
+    frag = locate_sql(rings, px="w.x", py="w.y")
+    return f"""
+    loc AS (
+      SELECT w.way_id, w.pid,
+             SUM({frag['crossing']}) AS crossings,
+             MAX({frag['on_seg']}) AS onb
+      FROM wv w CROSS JOIN {frag['edges']}
+      GROUP BY w.way_id, w.pid),
+    vloc AS (
+      SELECT way_id, pid,
+             CASE WHEN onb = 1 THEN 0
+                  WHEN crossings % 2 = 1 THEN 1 ELSE -1 END AS l
+      FROM loc)"""
+
+
+def _way_seg_sql() -> str:
+    """CTE text: ``seg`` = consecutive-vertex way segments (pid order)."""
+    return """
+    seg AS (
+      SELECT a.way_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM wv a JOIN wv b ON b.way_id = a.way_id AND b.seq = a.seq + 1)"""
+
+
+def way_within_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """Linestring ways within the zone: no vertex outside, at least one
+    vertex strictly inside (WithinFilter::acceptWay for !isArea)."""
+    return f"""
+    {points_cte()}, {ways_vertices_sql()}, {_way_vloc_sql(rings)}
+    SELECT way_id FROM vloc GROUP BY way_id
+    HAVING MIN(l) >= 0 AND MAX(l) = 1
+    """
+
+
+def way_intersects_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """Ways intersecting the zone: any vertex inside-or-boundary, or any
+    segment crossing a zone edge (IntersectsFilter::acceptWay, lineal)."""
+    cond = segments_intersect_sql(
+        ("s.x1", "s.y1", "s.x2", "s.y2"), ("e.ax", "e.ay", "e.bx", "e.by"))
+    return f"""
+    {points_cte()}, {ways_vertices_sql()}, {_way_vloc_sql(rings)},
+    {_way_seg_sql()}
+    SELECT way_id FROM vloc GROUP BY way_id HAVING MAX(l) >= 0
+    UNION
+    SELECT DISTINCT s.way_id
+    FROM seg s JOIN {zone_edges_values_sql(rings)} ON {cond}
+    """
+
+
+def rel_within_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """Non-area gate relations (rel_id = way_id; members = the way's
+    2-vertex segments) within the zone: MUST_ACCEPT_ALL_MEMBERS — no
+    member vertex outside AND at least one member vertex strictly inside
+    (WithinFilter::locateMembers > 0). Flattening over member vertices is
+    exactly equivalent (shared vertices don't change min/max)."""
+    return f"""
+    {points_cte()}, {ways_vertices_sql()}, {_way_vloc_sql(rings)}
+    SELECT way_id AS rel_id FROM vloc GROUP BY way_id
+    HAVING MIN(l) >= 0 AND MAX(l) = 1
+    """
+
+
+def rel_intersects_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """Non-area gate relations intersecting: ANY member accepted
+    (SpatialFilter::acceptMembers without MUST_ACCEPT_ALL_MEMBERS) — a
+    2-vertex member is accepted iff a vertex locates >= 0 or its segment
+    crosses an edge."""
+    cond = segments_intersect_sql(
+        ("s.x1", "s.y1", "s.x2", "s.y2"), ("e.ax", "e.ay", "e.bx", "e.by"))
+    return f"""
+    {points_cte()}, {ways_vertices_sql()}, {_way_vloc_sql(rings)},
+    {_way_seg_sql()},
+    acc AS (
+      SELECT way_id FROM vloc GROUP BY way_id HAVING MAX(l) >= 0
+      UNION
+      SELECT DISTINCT s.way_id
+      FROM seg s JOIN {zone_edges_values_sql(rings)} ON {cond})
+    SELECT way_id AS rel_id FROM acc
+    """
+
+
+def way_distance_sql(qx: int, qy: int, d2_limit: float) -> str:
+    """maxMetersFrom for linestring ways: min point-segment squared
+    distance STRICTLY below d2_limit (PointDistanceFilter.cpp:25-47,
+    accept() uses `<`); float64 expression tree identical to the kernel."""
+    from libgeodesk_spark.operators.distance import _seg_d2_sql
+    d2 = _seg_d2_sql(px=str(qx), py=str(qy), ax="s.x1", ay="s.y1",
+                     bx="s.x2", by="s.y2")
+    return f"""
+    {points_cte()}, {ways_vertices_sql()}, {_way_seg_sql()},
+    d AS (SELECT way_id, MIN({d2}) AS min_d2 FROM seg s GROUP BY way_id)
+    SELECT way_id, CAST(floor(min_d2) AS BIGINT) AS d2
+    FROM d WHERE min_d2 < {d2_limit!r}
     """

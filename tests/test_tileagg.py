@@ -112,8 +112,11 @@ class TestLineage:
         from libgeodesk_spark.operators.tileagg import reencode_images
         from libgeodesk_spark.plans.lineage import TileJob
 
-        src = images.filter("salt = 0").select(
+        # salt = 1, NOT 0: pid = orderkey*8 + linenumber (ln 1-7) is never
+        # ≡ 0 mod 16, so salt=0 is empty and would make this test vacuous
+        src = images.filter("salt = 1").select(
             "image_id", "cell_id", "bytes", "caption", "fmt")
+        assert src.count() > 0
         out = str(tmp_path / "job1")
         job = TileJob(out, "job1", n_buckets=4)
         with pytest.raises(RuntimeError, match="injected failure"):
