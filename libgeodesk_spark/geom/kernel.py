@@ -46,6 +46,51 @@ def _as_i64(*arrays):
 # crossing count over every member way)
 # ---------------------------------------------------------------------------
 
+#: above this edge count, locate_points switches from the per-edge loop to
+#: the blocked 2D formulation — O(M) python overhead matters for
+#: coastline-class zones (10^5-10^6 edges), not for typical ones
+_EDGE_LOOP_MAX = 64
+_EDGE_BLOCK = 512
+
+
+def _locate_points_blocked(px: np.ndarray, py: np.ndarray,
+                           e: np.ndarray) -> np.ndarray:
+    """Edge-blocked 2D vectorization of the same half-open crossing rules:
+    identical results to the per-edge loop, python overhead O(M/block)."""
+    crossings = np.zeros(px.shape, dtype=np.int64)
+    boundary = np.zeros(px.shape, dtype=bool)
+    pxc = px[:, None]
+    pyc = py[:, None]
+    for s in range(0, len(e), _EDGE_BLOCK):
+        blk = e[s:s + _EDGE_BLOCK]
+        ax, ay, bx, by = blk[:, 0], blk[:, 1], blk[:, 2], blk[:, 3]
+        exl, exh = np.minimum(ax, bx), np.maximum(ax, bx)
+        eyl, eyh = np.minimum(ay, by), np.maximum(ay, by)
+        degen = (ax == bx) & (ay == by)
+        # --- boundary: collinear and inside the edge bbox
+        in_bbox = ((pxc >= exl) & (pxc <= exh)
+                   & (pyc >= eyl) & (pyc <= eyh))
+        cross = (bx - ax) * (pyc - ay) - (by - ay) * (pxc - ax)
+        bmat = in_bbox & (cross == 0) & ~degen
+        bmat |= degen & (pxc == ax) & (pyc == ay)
+        boundary |= bmat.any(axis=1)
+        # --- crossings: skip horizontal; half-open [low_y, high_y)
+        up = ay < by
+        lx = np.where(up, ax, bx)
+        ly = np.where(up, ay, by)
+        hx = np.where(up, bx, ax)
+        hy = np.where(up, by, ay)
+        nonh = ay != by
+        in_y = (pyc >= ly) & (pyc < hy) & nonh
+        west = pxc < exl
+        mid = in_y & ~west & (pxc <= exh)
+        cross_up = (hx - lx) * (pyc - ly) - (hy - ly) * (pxc - lx)
+        crossings += (in_y & (west | (mid & (cross_up > 0)))).sum(axis=1)
+    loc = np.where(crossings & 1, INSIDE, OUTSIDE).astype(np.int8)
+    loc[boundary] = BOUNDARY
+    return loc
+
+
 def locate_points(px, py, edges) -> np.ndarray:
     """Locate N points against a polygon given as an (M,4) int array of
     edges ``[ax, ay, bx, by]`` (all rings concatenated, closing edges
@@ -55,6 +100,8 @@ def locate_points(px, py, edges) -> np.ndarray:
     """
     px, py = _as_i64(px, py)
     e = np.asarray(edges, dtype=np.int64).reshape(-1, 4)
+    if len(e) > _EDGE_LOOP_MAX:
+        return _locate_points_blocked(px, py, e)
     crossings = np.zeros(px.shape, dtype=np.int64)
     boundary = np.zeros(px.shape, dtype=bool)
 

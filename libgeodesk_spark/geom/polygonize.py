@@ -110,3 +110,106 @@ def polygonize(ways: list[np.ndarray]) -> list[np.ndarray]:
     """ways → closed rings ready for :func:`prepare_zone` (whose crossing
     parity handles holes without explicit roles)."""
     return build_rings(ways)
+
+
+def _edge_key(a, b) -> tuple:
+    a, b = (int(a[0]), int(a[1])), (int(b[0]), int(b[1]))
+    return (a, b) if a <= b else (b, a)
+
+
+def merge_touching_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """RingMerger (src/geom/polygon/RingMerger.cpp:15-188): rings sharing
+    EDGES (inner rings of a multipolygon that touch along a boundary) are
+    merged — duplicated undirected edges are removed, the surviving chains
+    re-polygonized. Rings without shared edges pass through untouched."""
+    from collections import Counter
+    counts: Counter = Counter()
+    ring_edges = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.int64).reshape(-1, 2)
+        edges = [_edge_key(r[i], r[i + 1]) for i in range(len(r) - 1)]
+        ring_edges.append((r, edges))
+        counts.update(edges)
+    valid: list[np.ndarray] = []
+    chains: list[np.ndarray] = []
+    for r, edges in ring_edges:
+        dup = [counts[e] >= 2 for e in edges]
+        if not any(dup):
+            valid.append(r)
+            continue
+        # break the ring into maximal chains of non-duplicated edges
+        run_start = None
+        for i, d in enumerate(dup + [True]):
+            if not d and run_start is None:
+                run_start = i
+            elif d and run_start is not None:
+                chains.append(r[run_start:i + 1])
+                run_start = None
+    if chains:
+        valid.extend(build_rings(chains))
+    return valid
+
+
+def relation_centroid(area_ways: list[np.ndarray],
+                      line_ways: list[np.ndarray],
+                      nodes: list[tuple[int, int]],
+                      bbox: tuple[int, int, int, int]) -> tuple[int, int]:
+    """Centroid of a NON-area relation with mixed members — the priority
+    dispatch of Centroid::ofRelation (src/geom/Centroid.cpp:51-74):
+    areal > lineal > puntal, bbox center as the degenerate fallback.
+    Area-way members contribute rings (each as a shell, Centroid.cpp:77-88);
+    lineal ways contribute length-weighted segments; nodes the mean."""
+    if area_ways:
+        rings = []
+        for w in area_ways:
+            w = np.asarray(w, dtype=np.int64).reshape(-1, 2)
+            if (w[0] != w[-1]).any():
+                w = np.vstack([w, w[:1]])
+            rings.append((w[:, 0], w[:, 1]))
+        a = sum(float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+                for xs, ys in ((np.asarray(x, dtype=np.float64),
+                                np.asarray(y, dtype=np.float64))
+                               for x, y in rings))
+        if a != 0.0:
+            return kernel.areal_centroid(rings)
+    if line_ways:
+        total = 0.0
+        cx = cy = 0.0
+        for w in line_ways:
+            w = np.asarray(w, dtype=np.float64).reshape(-1, 2)
+            seg = np.sqrt(np.diff(w[:, 0]) ** 2 + np.diff(w[:, 1]) ** 2)
+            total += float(seg.sum())
+            cx += float(np.sum((w[:-1, 0] + w[1:, 0]) * seg))
+            cy += float(np.sum((w[:-1, 1] + w[1:, 1]) * seg))
+        if total > 0.0:
+            from libgeodesk_spark.mercator import round_half_away
+            return (round_half_away(cx / (total * 2.0)),
+                    round_half_away(cy / (total * 2.0)))
+    if nodes:
+        xs = np.array([n[0] for n in nodes], dtype=np.float64)
+        ys = np.array([n[1] for n in nodes], dtype=np.float64)
+        return kernel.puntal_centroid(xs, ys)
+    # degenerate: bbox center (Centroid.cpp:57-60, Box::center)
+    return ((bbox[0] + bbox[2]) // 2, (bbox[1] + bbox[3]) // 2)
+
+
+def area_relation_centroid(member_ways: list[np.ndarray],
+                           bbox: tuple[int, int, int, int]) -> tuple[int, int]:
+    """Centroid of an AREA relation (Centroid::addAreaRelation,
+    src/geom/Centroid.cpp:31-48): polygonize member ways into rings,
+    classify shells/holes, merge touching holes (RingMerger), then the
+    ring-weighted areal centroid; bbox center if no rings could be built."""
+    try:
+        rings = build_rings(member_ways)
+    except PolygonizeError:
+        rings = []
+    if not rings:
+        return ((bbox[0] + bbox[2]) // 2, (bbox[1] + bbox[3]) // 2)
+    assigned = assign_holes(rings)
+    shells = [r for r, s in assigned if s]
+    holes = [r for r, s in assigned if not s]
+    if len(holes) > 1:
+        holes = merge_touching_rings(holes)
+    ring_list = [(r[:, 0], r[:, 1]) for r in shells + holes]
+    flags = [True] * len(shells) + [False] * len(holes)
+    return kernel.areal_centroid(ring_list, flags)

@@ -109,3 +109,42 @@ def bbox_to_ring(min_x: int, min_y: int, max_x: int, max_y: int) -> np.ndarray:
 def prepare_zone_from_wkb(zone_id: str, data: bytes, zoom: int | None = None):
     from libgeodesk_spark.geom.zones import prepare_zone
     return prepare_zone(zone_id, wkb_to_rings(data), zoom=zoom)
+
+
+# ---------------------------------------------------------------------------
+# WKB EXPORT (G9 outbound half: GeometryBuilder.cpp builds GEOS geometry;
+# here standard little-endian WKB from int-Mercator rings)
+# ---------------------------------------------------------------------------
+
+def _merc_rings_to_lonlat(rings):
+    from libgeodesk_spark.mercator import np_lat_from_y, np_lon_from_x
+    out = []
+    for r in rings:
+        r = np.asarray(r).reshape(-1, 2)
+        out.append(np.stack([np_lon_from_x(r[:, 0]),
+                             np_lat_from_y(r[:, 1])], axis=1))
+    return out
+
+
+def rings_to_wkb(rings, merc: bool = True) -> bytes:
+    """Closed int-Mercator rings → little-endian WKB Polygon (one ring
+    list) — coordinates exported as lon/lat degrees (the reference's GEOS
+    bridge exports degree geometry too). ``merc=False`` writes the raw
+    coordinates unprojected."""
+    ll = _merc_rings_to_lonlat(rings) if merc else \
+        [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings]
+    out = struct.pack("B", 1) + struct.pack("<I", _POLYGON) \
+        + struct.pack("<I", len(ll))
+    for r in ll:
+        out += struct.pack("<I", len(r))
+        out += r.astype("<f8").tobytes()
+    return out
+
+
+def multipolygon_to_wkb(polys, merc: bool = True) -> bytes:
+    """List of ring-lists → WKB MultiPolygon."""
+    out = struct.pack("B", 1) + struct.pack("<I", _MULTIPOLYGON) \
+        + struct.pack("<I", len(polys))
+    for rings in polys:
+        out += rings_to_wkb(rings, merc)
+    return out

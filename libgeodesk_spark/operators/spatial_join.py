@@ -41,6 +41,11 @@ from libgeodesk_spark.geom.zones import BOUNDARY, INSIDE, PreparedZone
 
 Predicate = Literal["within", "intersects", "contains_point"]
 
+#: above this many total zone edges the build side is NOT broadcast as one
+#: blob — boundary rows co-group with per-cell edge slices instead
+#: (~32 B/edge: 2M edges = 64 MB broadcast, a sane executor budget)
+EDGE_BROADCAST_LIMIT = 2_000_000
+
 #: minimum locate() value accepted per predicate, for POINT candidates:
 #: within → strictly inside (WithinFilter.cpp:60-63 properlyContainsPoint);
 #: intersects / contains_point → boundary or inside
@@ -83,13 +88,45 @@ def bbox_filter(df: DataFrame, min_x: int, min_y: int, max_x: int, max_y: int,
                      & (F.col(y) >= min_y) & (F.col(y) <= max_y))
 
 
+#: fallback sanity bound per SINGLE zone: its edges are shipped whole to
+#: each of its boundary cells (PIP parity needs the full ring set — a ray
+#: cast east crosses edges far outside the probe's cell). A single
+#: million-vertex polygon should be split (or covered coarser) instead.
+PER_ZONE_EDGE_LIMIT = 200_000
+
+
+def _edge_cells_pdf(zones: list[PreparedZone]) -> "pd.DataFrame":
+    """One row per (boundary cover cell, zone) carrying that ZONE's full
+    edge array as int64 bytes — the shuffle-join build side for zone SETS
+    whose combined edges are too big to broadcast whole (the common
+    huge-build-side case: many moderate zones, e.g. every admin polygon).
+    Each executor receives only the zones of the cells it processes."""
+    keys_out, zids, blobs = [], [], []
+    for z in zones:
+        if len(z.edges) > PER_ZONE_EDGE_LIMIT:
+            raise ValueError(
+                f"zone {z.zone_id} has {len(z.edges)} edges — beyond the "
+                f"shuffle-fallback per-zone bound ({PER_ZONE_EDGE_LIMIT}); "
+                f"split the polygon or prepare it at a coarser cover zoom")
+        blob = z.edges.tobytes()
+        for key, val in z.cover.items():
+            if val != BOUNDARY:
+                continue
+            keys_out.append(key)
+            zids.append(z.zone_id)
+            blobs.append(blob)
+    return pd.DataFrame({"cover_key": np.array(keys_out, dtype=np.int64),
+                         "zone_id": zids, "edges_blob": blobs})
+
+
 def join_zones(points: DataFrame, zones: list[PreparedZone],
                predicate: Predicate = "within",
                cell_col: str = "cell_id", x_col: str = "x", y_col: str = "y",
                prefilter_bbox: bool = True,
                columns: list[str] | None = None,
                single_pass: bool = False,
-               spread_boundary: bool = False) -> DataFrame:
+               spread_boundary: bool = False,
+               max_broadcast_edges: int = EDGE_BROADCAST_LIMIT) -> DataFrame:
     """points × zones point-in-polygon join.
 
     Returns ``columns`` (default: all input columns) plus ``zone_id`` — one
@@ -133,7 +170,8 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
                             x_col=x_col, y_col=y_col,
                             prefilter_bbox=prefilter_bbox, columns=columns,
                             single_pass=single_pass,
-                            spread_boundary=spread_boundary)
+                            spread_boundary=spread_boundary,
+                            max_broadcast_edges=max_broadcast_edges)
                  for zm in zooms]
         out = parts[0]
         for p in parts[1:]:
@@ -149,12 +187,45 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
         .alias("_ck"))
 
     zc = zone_cells_df(spark, zones)
+    total_edges = sum(len(z.edges) for z in zones)
+    final_cols = list(dict.fromkeys(out_cols + ["zone_id"]))
+
+    if total_edges > max_broadcast_edges:
+        # SHUFFLE-JOIN FALLBACK (SURVEY §7.4 broadcast-size discipline):
+        # the edge set is too big to ship whole to every executor. Turbo
+        # rows stay pure JVM; boundary rows CO-GROUP with per-cell edge
+        # slices on (cover_key, zone_id) — each executor sees only the
+        # edges of the cells it processes, one shuffle of the (skinny)
+        # boundary band plus the sliced edge table.
+        candk = points.join(F.broadcast(zc),
+                            points["_ck"] == zc["cover_key"], "inner") \
+            .drop("cover_key")
+        turbo = candk.filter(F.col("cover") == INSIDE).select(*final_cols)
+        bnd_cols = list(dict.fromkeys(final_cols + [x_col, y_col, "_ck"]))
+        bnd = candk.filter(F.col("cover") == BOUNDARY).select(*bnd_cols)
+        edge_tbl = spark.createDataFrame(_edge_cells_pdf(zones))
+        out_schema = turbo.schema
+        min_loc_f = min_loc
+
+        def locate_group(left: pd.DataFrame, right: pd.DataFrame):
+            if len(left) == 0 or len(right) == 0:
+                return left.iloc[0:0][final_cols]
+            edges = np.frombuffer(right["edges_blob"].iloc[0],
+                                  dtype=np.int64).reshape(-1, 4)
+            loc = kernel.locate_points(left[x_col].to_numpy(),
+                                       left[y_col].to_numpy(), edges)
+            return left.loc[loc >= min_loc_f, final_cols]
+
+        boundary = bnd.groupBy("_ck", "zone_id").cogroup(
+            edge_tbl.groupBy("cover_key", "zone_id")) \
+            .applyInPandas(locate_group, schema=out_schema)
+        return turbo.unionByName(boundary)
+
     cand = points.join(F.broadcast(zc),
                        points["_ck"] == zc["cover_key"], "inner") \
         .drop("cover_key", "_ck")
     edges_bc = spark.sparkContext.broadcast(
         {z.zone_id: z.edges for z in zones})
-    final_cols = list(dict.fromkeys(out_cols + ["zone_id"]))
 
     if single_pass:
         in_schema = cand.schema

@@ -67,3 +67,35 @@ def connected_to(way_vertices: DataFrame, way_id,
     return (way_vertices.join(F.broadcast(probe), "vkey")
             .filter(F.col(way_col) != way_id)
             .select(way_col).distinct())
+
+
+def nodes_of(ways: DataFrame, feature_nodes: DataFrame,
+             way_col: str = "way_id", ring_col: str = "ring",
+             node_id: str = "node_id") -> DataFrame:
+    """nodesOf(way) with ANONYMOUS node synthesis (T2): every way vertex
+    becomes a row; vertices matching a stored feature node by exact
+    coordinate carry its id, the rest get a NULL id — the reference
+    synthesizes id+xy rows for untagged nodes the same way
+    (FeatureIteratorBase.cpp:233-261 fetchNext: featureNodeIterator merge,
+    anonymous coordinates yielded between feature nodes).
+
+    ``feature_nodes`` = (node_id, x, y). Output: (way_id, seq, x, y,
+    node_id nullable). Left join on the packed vertex key — broadcastable
+    when the node table is small, shuffle-join otherwise (Catalyst picks).
+    """
+    v = ways.select(
+        way_col,
+        F.posexplode(ring_col).alias("seq", "p")).select(
+        way_col, "seq",
+        F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    key = F.shiftleft(F.col("y").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)), 32) \
+        .bitwiseOR(F.col("x").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)))
+    v = v.withColumn("_vk", key)
+    fn = feature_nodes.select(
+        F.col(node_id),
+        F.shiftleft(F.col("y").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)), 32)
+        .bitwiseOR(F.col("x").cast("long").bitwiseAND(F.lit(0xFFFFFFFF)))
+        .alias("_vk"))
+    return (v.join(fn, "_vk", "left")
+            .select(way_col, "seq", "x", "y", node_id)
+            .orderBy(way_col, "seq"))

@@ -64,21 +64,31 @@ def morton_key_sql(x: str = "x", y: str = "y", bits: int = MORTON_BITS) -> str:
 
 def write_gol_layout(df: DataFrame, path: str,
                      part_zoom: int = DEFAULT_PART_ZOOM,
-                     zoom: int = mercator.MAX_ZOOM) -> None:
+                     zoom: int = mercator.MAX_ZOOM,
+                     bloom_cols: tuple[str, ...] = ("image_id",)) -> None:
     """Write ``df`` (must carry x, y, cell_id) cell-partitioned and
-    Z-order-clustered."""
+    Z-order-clustered.
+
+    ``bloom_cols``: parquet bloom filters on point-lookup keys — the
+    analog of the reference's key-bucketed secondary indexes
+    (Matcher.h:128-133 acceptIndex skips whole R-tree roots whose key
+    bucket can't match; a bloom filter skips whole row groups whose key
+    set can't match). Columns absent from the frame are ignored."""
     out = df.withColumn(
         "part_cell", cell_zoomed_out(F.col("cell_id"), part_zoom, zoom)) \
         .withColumn("_z", morton_key(F.col("x"), F.col("y")))
-    (out.repartition("part_cell")
-        .sortWithinPartitions("part_cell", "_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        # small row groups keep hot-cell files splittable: a dense cell's
-        # file must not collapse into one unsplittable 128MB row group
-        # (scan parallelism = row groups, not bytes)
-        .option("parquet.block.size", str(8 * 1024 * 1024))
-        .partitionBy("part_cell").parquet(path))
+    w = (out.repartition("part_cell")
+         .sortWithinPartitions("part_cell", "_z")
+         .drop("_z")
+         .write.mode("overwrite")
+         # small row groups keep hot-cell files splittable: a dense cell's
+         # file must not collapse into one unsplittable 128MB row group
+         # (scan parallelism = row groups, not bytes)
+         .option("parquet.block.size", str(8 * 1024 * 1024)))
+    for c in bloom_cols:
+        if c in df.columns:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.partitionBy("part_cell").parquet(path)
 
 
 def read_gol_layout(spark: SparkSession, path: str) -> DataFrame:

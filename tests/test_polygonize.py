@@ -125,3 +125,79 @@ def test_assign_holes_probe_on_boundary():
     hole = np.array([[50, 0], [80, 30], [50, 60], [20, 30], [50, 0]])
     flags = [s for _, s in assign_holes([shell, hole])]
     assert flags == [True, False]
+
+
+# --- RingMerger + centroid dispatch (round 2) --------------------------------
+
+from libgeodesk_spark.geom.polygonize import (
+    area_relation_centroid,
+    merge_touching_rings,
+    relation_centroid,
+)
+
+
+def sq(x0, y0, s):
+    return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s],
+                     [x0, y0 + s], [x0, y0]], dtype=np.int64)
+
+
+def test_merge_touching_rings_shared_edge():
+    """Two holes sharing a full edge merge into one ring covering both."""
+    a = sq(0, 0, 10)
+    # b shares a's right edge (10,0)-(10,10) traversed in reverse
+    b = np.array([[10, 0], [20, 0], [20, 10], [10, 10], [10, 0]], dtype=np.int64)
+    merged = merge_touching_rings([a, b])
+    assert len(merged) == 1
+    m = merged[0]
+    edges = rings_to_edges([m])
+    # merged ring = the 20x10 rectangle: interior points of both squares in,
+    # the old shared edge interior is now INSIDE, corners on boundary
+    assert kernel.locate_points([5, 15, 10], [5, 5, 5], edges).tolist() == [1, 1, 1]
+    assert kernel.locate_points([0, 20], [5, 5], edges).tolist() == [0, 0]
+    # shoelace area = sum of both squares
+    assert abs(kernel.shoelace2(m[:, 0], m[:, 1])) == 2 * (200)
+
+
+def test_merge_keeps_disjoint_rings():
+    a, b = sq(0, 0, 10), sq(100, 100, 10)
+    merged = merge_touching_rings([a, b])
+    assert len(merged) == 2
+
+
+def test_relation_centroid_priority():
+    area = [sq(0, 0, 10)]
+    lines = [np.array([[100, 100], [200, 100]])]
+    nodes = [(500, 500), (700, 700)]
+    bbox = (0, 0, 1000, 1000)
+    # areal wins over lineal/puntal
+    assert relation_centroid(area, lines, nodes, bbox) == (5, 5)
+    # lineal wins over puntal
+    assert relation_centroid([], lines, nodes, bbox) == (150, 100)
+    # puntal
+    assert relation_centroid([], [], nodes, bbox) == (600, 600)
+    # degenerate -> bbox center
+    assert relation_centroid([], [], [], bbox) == (500, 500)
+    # zero-area areal member falls through to lineal
+    degen = [np.array([[0, 0], [10, 10], [0, 0]])]
+    assert relation_centroid(degen, lines, [], bbox) == (150, 100)
+
+
+def test_area_relation_centroid_with_touching_holes():
+    """Shell with two edge-sharing holes: centroid must equal the same
+    polygon expressed with the single merged hole."""
+    shell = sq(0, 0, 100)
+    h1 = sq(20, 20, 20)
+    h2 = np.array([[40, 20], [60, 20], [60, 40], [40, 40], [40, 20]],
+                  dtype=np.int64)
+    merged_hole = np.array([[20, 20], [60, 20], [60, 40], [20, 40], [20, 20]],
+                           dtype=np.int64)
+    got = area_relation_centroid([shell, h1, h2], (0, 0, 100, 100))
+    exp = kernel.areal_centroid(
+        [(shell[:, 0], shell[:, 1]), (merged_hole[:, 0], merged_hole[:, 1])],
+        [True, False])
+    assert got == exp
+
+
+def test_area_relation_centroid_degenerate_bbox_fallback():
+    dangling = [np.array([[0, 0], [10, 0]])]
+    assert area_relation_centroid(dangling, (0, 0, 8, 4)) == (4, 2)

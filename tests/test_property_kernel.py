@@ -139,3 +139,38 @@ def test_shoelace_reversal_negates(poly):
     s = kernel.shoelace2(poly[:, 0], poly[:, 1])
     r = kernel.shoelace2(poly[::-1, 0].copy(), poly[::-1, 1].copy())
     assert s == -r
+
+
+def test_blocked_locate_identical_to_loop():
+    """The blocked 2D locate path must be bit-identical to the per-edge
+    loop on adversarial inputs (boundary probes, vertices, degenerate
+    edges) — the gate zones plus random probes."""
+    import numpy as np
+
+    from libgeodesk_spark.geom import kernel
+    from libgeodesk_spark.geom.zones import rings_to_edges
+    from libgeodesk_spark.sources.points import GATE_ZONES
+
+    rng = np.random.default_rng(11)
+    for rings in GATE_ZONES.values():
+        edges = rings_to_edges([np.array(r) for r in rings])
+        # random probes + every vertex + midpoints of every edge
+        px = rng.integers(edges[:, 0].min() - 10**6,
+                          edges[:, 2].max() + 10**6, 4000)
+        py = rng.integers(edges[:, 1].min() - 10**6,
+                          edges[:, 3].max() + 10**6, 4000)
+        px = np.concatenate([px, edges[:, 0], (edges[:, 0] + edges[:, 2]) // 2])
+        py = np.concatenate([py, edges[:, 1], (edges[:, 1] + edges[:, 3]) // 2])
+        # degenerate edge appended
+        e2 = np.vstack([edges, [[px[0], py[0], px[0], py[0]]]])
+        # force both paths
+        old_max = kernel._EDGE_LOOP_MAX
+        try:
+            kernel._EDGE_LOOP_MAX = 10**9
+            a = kernel.locate_points(px, py, e2)
+        finally:
+            kernel._EDGE_LOOP_MAX = old_max
+        b = kernel._locate_points_blocked(
+            np.asarray(px, dtype=np.int64), np.asarray(py, dtype=np.int64),
+            np.asarray(e2, dtype=np.int64))
+        assert np.array_equal(a, b)

@@ -107,3 +107,74 @@ def test_max_meters_from(points, points_pd):
     dy = points_pd.y.to_numpy().astype(np.float64) - qy
     want = points_pd.image_id.to_numpy()[dx * dx + dy * dy <= u * u]
     assert sorted(got.image_id) == sorted(want)
+
+
+class TestShuffleFallback:
+    """join_zones with max_broadcast_edges exceeded: boundary rows co-group
+    with per-cell edge slices instead of a whole-set broadcast; results
+    must be identical to the broadcast path."""
+
+    def test_fallback_matches_broadcast(self, spark):
+        import numpy as np
+
+        from libgeodesk_spark.geom.zones import prepare_zone
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        from libgeodesk_spark.sources.points import GATE_ZONES, derived_points
+
+        zones = [prepare_zone(n, [np.array(r) for r in rings])
+                 for n, rings in GATE_ZONES.items()]
+        pts = derived_points(spark, "/root/testdata/sf0.001")
+        base = join_zones(pts, zones, predicate="within",
+                          columns=["image_id"])
+        fb = join_zones(pts, zones, predicate="within",
+                        columns=["image_id"], max_broadcast_edges=10)
+        a = sorted((r.image_id, r.zone_id) for r in base.collect())
+        b = sorted((r.image_id, r.zone_id) for r in fb.collect())
+        assert a == b and len(a) > 0
+
+    def test_fallback_many_zone_set(self, spark):
+        """A zone SET with enough total edges to exceed a small broadcast
+        limit: 60 detailed polygons (~100 edges each) scattered over the
+        window, fallback vs broadcast identical for both predicates."""
+        import numpy as np
+
+        from libgeodesk_spark.geom.zones import prepare_zone
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        from libgeodesk_spark.sources.points import derived_points
+
+        rng = np.random.default_rng(7)
+        zones = []
+        for i in range(60):
+            cx = 89_500_000 + int(rng.integers(0, 7_000_000))
+            cy = 640_500_000 + int(rng.integers(0, 7_000_000))
+            n_v = 100
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+            rad = rng.integers(100_000, 500_000, n_v)
+            xs = (cx + rad * np.cos(ang)).astype(np.int64)
+            ys = (cy + rad * np.sin(ang)).astype(np.int64)
+            ring = np.stack([xs, ys], axis=1)
+            ring = np.vstack([ring, ring[:1]])
+            zones.append(prepare_zone(f"z{i:03d}", [ring]))
+        pts = derived_points(spark, "/root/testdata/sf0.001")
+        for pred in ("within", "intersects"):
+            base = join_zones(pts, zones, predicate=pred,
+                              columns=["image_id"])
+            fb = join_zones(pts, zones, predicate=pred,
+                            columns=["image_id"], max_broadcast_edges=500)
+            a = sorted((r.image_id, r.zone_id) for r in base.collect())
+            b = sorted((r.image_id, r.zone_id) for r in fb.collect())
+            assert a == b and len(a) > 0
+
+    def test_single_megazone_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from libgeodesk_spark.geom.zones import PreparedZone
+        from libgeodesk_spark.operators.spatial_join import (
+            PER_ZONE_EDGE_LIMIT,
+            _edge_cells_pdf,
+        )
+        edges = np.zeros((PER_ZONE_EDGE_LIMIT + 1, 4), dtype=np.int64)
+        z = PreparedZone("mega", edges, (0, 0, 1, 1), 16, {1: 0})
+        with _pytest.raises(ValueError, match="shuffle-fallback"):
+            _edge_cells_pdf([z])

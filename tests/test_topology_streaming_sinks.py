@@ -170,3 +170,19 @@ class TestSinks:
             if depth == 0:
                 _json.loads(html[start:i + 1])
                 break
+
+
+def test_nodes_of_anonymous_synthesis(spark):
+    """T2: way vertices merge with stored feature nodes by exact coord;
+    unmatched vertices come back as anonymous rows with NULL node_id
+    (FeatureIteratorBase.cpp:233-261)."""
+    from libgeodesk_spark.operators.topology import nodes_of
+    ways = spark.createDataFrame(
+        [(1, [{"x": 10, "y": 10}, {"x": 20, "y": 20}, {"x": 30, "y": 30}])],
+        "way_id long, ring array<struct<x:long,y:long>>")
+    nodes = spark.createDataFrame(
+        [(101, 10, 10), (103, 30, 30), (999, 77, 77)],
+        "node_id long, x long, y long")
+    rows = nodes_of(ways, nodes).collect()
+    assert [(r.seq, r.x, r.node_id) for r in rows] == [
+        (0, 10, 101), (1, 20, None), (2, 30, 103)]

@@ -134,3 +134,24 @@ def test_unsupported_iso_offset_raises():
     import pytest
     with pytest.raises(ValueError, match="ISO WKB type offset"):
         wkb_to_rings(wkb_polygon_flags([SQUARE], iso_offset=4, extra_dims=1))
+
+
+def test_wkb_export_roundtrip():
+    """rings -> WKB -> rings roundtrip: re-importing the exported WKB
+    reproduces the Mercator coordinates exactly (the 100-nanodegree
+    rounding of lon/lat is below one Mercator unit everywhere)."""
+    from libgeodesk_spark.geom.wkb import multipolygon_to_wkb, rings_to_wkb
+    from libgeodesk_spark.geom.zones import prepare_zone
+    from libgeodesk_spark.sources.points import GATE_ZONES
+
+    rings = [np.array(r, dtype=np.int64) for r in GATE_ZONES["holed"]]
+    data = rings_to_wkb(rings)
+    back = wkb_to_rings(data)
+    assert len(back) == 2
+    for a, b in zip(rings, back):
+        assert np.abs(a - b).max() <= 1   # one unit of projection rounding
+
+    far = [np.array(r, dtype=np.int64) for r in GATE_ZONES["convex"]]
+    mp = multipolygon_to_wkb([rings, far])
+    back2 = wkb_to_rings(mp)
+    assert len(back2) == 3
