@@ -54,7 +54,7 @@ def materialized_points(spark, sf_dir: str, repl: int):
     import hashlib
 
     from libgeodesk_spark.sources.writer import read_gol_layout, write_gol_layout
-    key = hashlib.md5(f"{sf_dir}|{repl}|v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{repl}|v2".encode()).hexdigest()[:12]
     path = f"/tmp/spark_graft_bench/{key}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_gol_layout(bench_points(spark, sf_dir, repl), path)

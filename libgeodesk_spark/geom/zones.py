@@ -67,8 +67,8 @@ class PreparedZone:
     """Broadcastable prepared polygon: flat edge array + cell cover.
 
     ``cover`` is keyed by :func:`pack_colrow` keys at ``zoom`` — by default
-    FINER than the zoom-12 storage cells (COVER_ZOOM=16), shrinking the
-    BOUNDARY band ~16× per axis so the turbo (no-geometry) path dominates
+    FINER than the zoom-12 storage cells (budget-fitted up to COVER_ZOOM=20),
+    shrinking the BOUNDARY band so the turbo (no-geometry) path dominates
     the probe side, the same reason the reference walks its tile pyramid to
     the finest level before testing features (TileIndexWalker)."""
 
@@ -144,12 +144,18 @@ def _segment_intersects_cells(ax, ay, bx, by, zoom) -> set[tuple[int, int]]:
     return {(int(c), int(r)) for c, r in zip(cc[hit], rr[hit])}
 
 
-#: default cover granularity (finer than the zoom-12 storage cells)
-COVER_ZOOM = 16
+#: finest cover granularity the packed (col<<20|row) key supports; actual
+#: zoom per zone is fitted to the cell budget below. Finer covers shrink
+#: the BOUNDARY band quadratically-vs-area (perimeter cells halve per
+#: zoom step), i.e. fewer rows pay the Arrow/Python locate kernel —
+#: measured at sf0.1x64: zoom 16 covers put 16% of candidate rows in the
+#: band; zoom 18 puts ~4%.
+COVER_ZOOM = 20
 
 #: adaptive-zoom budget: keep a zone's bbox cover under ~this many cells so
 #: broadcast size and driver prep stay bounded for continent-scale zones
-MAX_COVER_CELLS = 1 << 16
+#: (2^17 cells x ~13 B/row ≈ 1.7 MB broadcast per zone, still tiny)
+MAX_COVER_CELLS = 1 << 17
 
 
 def _fit_zoom(min_x: int, min_y: int, max_x: int, max_y: int,
@@ -165,6 +171,28 @@ def _fit_zoom(min_x: int, min_y: int, max_x: int, max_y: int,
             return z
         z -= 1
     return 0
+
+
+def coarsen_cover(cover: dict[int, int], k: int) -> dict[int, int]:
+    """Zoom a cover out by ``k`` steps, exactly: a coarse cell is INSIDE
+    iff all 4^k children are present and INSIDE; it is BOUNDARY if any
+    child is BOUNDARY or the children only partially cover it (points in
+    the uncovered part still get the exact locate test — conservative,
+    never wrong); absent iff no child is present."""
+    if k <= 0 or not cover:
+        return dict(cover)
+    n = len(cover)
+    keys = np.fromiter(cover.keys(), dtype=np.int64, count=n)
+    vals = np.fromiter(cover.values(), dtype=np.int64, count=n)
+    ck = (((keys >> 20) >> k) << 20) | ((keys & 0xFFFFF) >> k)
+    order = np.argsort(ck)
+    ck, v = ck[order], vals[order]
+    starts = np.concatenate([[0], np.flatnonzero(ck[1:] != ck[:-1]) + 1])
+    counts = np.diff(np.concatenate([starts, [len(ck)]]))
+    all_inside = np.logical_and.reduceat(v == INSIDE, starts)
+    full = counts == (1 << (2 * k))
+    out_vals = np.where(full & all_inside, INSIDE, BOUNDARY)
+    return {int(c): int(x) for c, x in zip(ck[starts], out_vals)}
 
 
 def prepare_zone(zone_id: str, rings: list[np.ndarray],
@@ -202,7 +230,9 @@ def prepare_zone(zone_id: str, rings: list[np.ndarray],
     cc, rr = np.meshgrid(cols, rows)
     cc, rr = cc.ravel(), rr.ravel()
     if len(boundary):
-        bmask = np.array([(int(c), int(r)) in boundary for c, r in zip(cc, rr)])
+        bkeys = np.fromiter(((c << 20) | r for c, r in boundary),
+                            dtype=np.int64, count=len(boundary))
+        bmask = np.isin((cc << 20) | rr, bkeys)
         cc, rr = cc[~bmask], rr[~bmask]
     if len(cc):
         shift = 32 - zoom

@@ -54,13 +54,16 @@ _MIN_LOC = {"within": kernel.INSIDE, "intersects": kernel.BOUNDARY,
             "contains_point": kernel.BOUNDARY}
 
 
-def zone_cells_df(spark: SparkSession, zones: Iterable[PreparedZone]) -> DataFrame:
+def zone_cells_df(spark: SparkSession, zones: Iterable[PreparedZone],
+                  covers: list[dict] | None = None) -> DataFrame:
     """(cover_key, zone_id, cover) — the broadcast build side. cover_key is
-    the pack_colrow key at the zones' cover zoom (all zones must share it)."""
+    the pack_colrow key at the zones' cover zoom (all zones must share it).
+    ``covers`` overrides each zone's own cover (coarsened variants)."""
     frames = []
-    for z in zones:
-        keys = np.fromiter(z.cover.keys(), dtype=np.int64, count=len(z.cover))
-        vals = np.fromiter(z.cover.values(), dtype=np.int32, count=len(z.cover))
+    for i, z in enumerate(zones):
+        cov = covers[i] if covers is not None else z.cover
+        keys = np.fromiter(cov.keys(), dtype=np.int64, count=len(cov))
+        vals = np.fromiter(cov.values(), dtype=np.int32, count=len(cov))
         frames.append(pd.DataFrame({"cover_key": keys, "zone_id": z.zone_id,
                                     "cover": vals}))
     pdf = pd.concat(frames, ignore_index=True) if frames else \
@@ -71,6 +74,52 @@ def zone_cells_df(spark: SparkSession, zones: Iterable[PreparedZone]) -> DataFra
         T.StructField("cover", T.IntegerType(), False),
     ])
     return spark.createDataFrame(pdf, schema)  # Arrow path — no row pickling
+
+
+def zone_intervals_df(spark: SparkSession,
+                      zones: Iterable[PreparedZone]) -> DataFrame:
+    """Run-length-encoded cover: one row per (cell row, contiguous col run,
+    zone, cover class) — the Raster-Intervals representation (SIGMOD 2023)
+    of the same exact cover.
+
+    Why this beats the per-cell table as the broadcast build side: a
+    zoom-18 regional cover is ~70k cells/zone and the per-cell broadcast
+    build is DRIVER-SERIAL work repeated per query (measured ~2 s of the
+    join's Amdahl floor); the interval form is ~1-3 runs per boundary row
+    (~1k rows/zone), so the build is instant and the probe joins
+    equi-on-row with a col BETWEEN residual inside the same broadcast
+    hash join. Interval count scales with zone PERIMETER rows, not area."""
+    frames = []
+    for z in zones:
+        n = len(z.cover)
+        keys = np.fromiter(z.cover.keys(), dtype=np.int64, count=n)
+        vals = np.fromiter(z.cover.values(), dtype=np.int32, count=n)
+        cols = keys >> 20
+        rows = keys & 0xFFFFF
+        for cv in (INSIDE, BOUNDARY):
+            m = vals == cv
+            if not m.any():
+                continue
+            order = np.lexsort((cols[m], rows[m]))
+            rs, cs = rows[m][order], cols[m][order]
+            newrun = np.ones(len(rs), dtype=bool)
+            newrun[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1] + 1)
+            starts = np.flatnonzero(newrun)
+            ends = np.concatenate([starts[1:] - 1, [len(rs) - 1]])
+            frames.append(pd.DataFrame({
+                "cell_row": rs[starts], "c0": cs[starts], "c1": cs[ends],
+                "zone_id": z.zone_id, "cover": cv}))
+    pdf = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"cell_row": [], "c0": [], "c1": [],
+                      "zone_id": [], "cover": []})
+    schema = T.StructType([
+        T.StructField("cell_row", T.LongType(), False),
+        T.StructField("c0", T.LongType(), False),
+        T.StructField("c1", T.LongType(), False),
+        T.StructField("zone_id", T.StringType(), False),
+        T.StructField("cover", T.IntegerType(), False),
+    ])
+    return spark.createDataFrame(pdf, schema)
 
 
 def cover_key_col(x, y, zoom: int):
@@ -94,22 +143,76 @@ def bbox_filter(df: DataFrame, min_x: int, min_y: int, max_x: int, max_y: int,
 #: million-vertex polygon should be split (or covered coarser) instead.
 PER_ZONE_EDGE_LIMIT = 200_000
 
+#: total zone-set edge budget for compiling the locate test into Catalyst
+#: Column arithmetic: per-edge constants fold into the generated code, so
+#: the boundary band needs NO Python at all and the whole join is one
+#: scan -> broadcast join -> codegen filter. Measured caveat (why this is
+#: NOT the default): even 30 edges generate a method big enough that
+#: HotSpot declines to JIT it (whole-stage codegen inlines the whole
+#: conjunction into the join consume path), and the interpreted generated
+#: code ran 4x slower than the two-branch Arrow path; with
+#: spark.sql.codegen.wholeStage=false it recovers to ~1.8x slower. Kept
+#: as an opt-in for deployments that must avoid Python workers entirely.
+JVM_PIP_MAX_EDGES = 512
 
-def _edge_cells_pdf(zones: list[PreparedZone]) -> "pd.DataFrame":
+
+def _pip_jvm_expr(zone: PreparedZone, px, py, min_loc: int):
+    """The locate kernel (kernel.locate_points) compiled to a Column
+    predicate for ONE zone — bit-identical semantics: half-open
+    [low_y, high_y) crossing rule, collinear-in-bbox boundary test,
+    degenerate-edge point test. ``px``/``py`` must be long Columns.
+    Products fit int64 exactly where they are used (masked elsewhere;
+    long arithmetic wraps silently under a false mask, never throws)."""
+    boundary = F.lit(False)
+    crossings = F.lit(0)
+    for ax, ay, bx, by in zone.edges.tolist():
+        exl, exh = (ax, bx) if ax <= bx else (bx, ax)
+        eyl, eyh = (ay, by) if ay <= by else (by, ay)
+        if ax == bx and ay == by:
+            boundary = boundary | ((px == ax) & (py == ay))
+            continue
+        cross0 = (F.lit(bx - ax) * (py - F.lit(ay))
+                  - F.lit(by - ay) * (px - F.lit(ax)))
+        boundary = boundary | ((px >= exl) & (px <= exh)
+                               & (py >= eyl) & (py <= eyh) & (cross0 == 0))
+        if ay == by:
+            continue  # horizontal edges never cross the eastward ray
+        lx, ly, hx, hy = (ax, ay, bx, by) if ay < by else (bx, by, ax, ay)
+        in_y = (py >= ly) & (py < hy)
+        west = px < exl
+        mid = (px >= exl) & (px <= exh)
+        cross_up = (F.lit(hx - lx) * (py - F.lit(ly))
+                    - F.lit(hy - ly) * (px - F.lit(lx)))
+        crossings = crossings + \
+            (in_y & (west | (mid & (cross_up > 0)))).cast("int")
+    odd = (crossings % 2) == 1
+    if min_loc >= kernel.INSIDE:
+        return (~boundary) & odd
+    return boundary | odd
+
+
+#: cap on Σ(boundary cells × edge bytes) duplicated into the fallback's
+#: per-cell edge table; the fallback coarsens covers until it fits
+EDGE_DUP_BUDGET_BYTES = 128 << 20
+
+
+def _edge_cells_pdf(zones: list[PreparedZone],
+                    covers: list[dict] | None = None) -> "pd.DataFrame":
     """One row per (boundary cover cell, zone) carrying that ZONE's full
     edge array as int64 bytes — the shuffle-join build side for zone SETS
     whose combined edges are too big to broadcast whole (the common
     huge-build-side case: many moderate zones, e.g. every admin polygon).
     Each executor receives only the zones of the cells it processes."""
     keys_out, zids, blobs = [], [], []
-    for z in zones:
+    for i, z in enumerate(zones):
         if len(z.edges) > PER_ZONE_EDGE_LIMIT:
             raise ValueError(
                 f"zone {z.zone_id} has {len(z.edges)} edges — beyond the "
                 f"shuffle-fallback per-zone bound ({PER_ZONE_EDGE_LIMIT}); "
                 f"split the polygon or prepare it at a coarser cover zoom")
         blob = z.edges.tobytes()
-        for key, val in z.cover.items():
+        cov = covers[i] if covers is not None else z.cover
+        for key, val in cov.items():
             if val != BOUNDARY:
                 continue
             keys_out.append(key)
@@ -119,6 +222,24 @@ def _edge_cells_pdf(zones: list[PreparedZone]) -> "pd.DataFrame":
                          "zone_id": zids, "edges_blob": blobs})
 
 
+def _fit_fallback_covers(zones: list[PreparedZone]) -> tuple[int, list[dict]]:
+    """Coarsen covers (exactly — coarsen_cover) until the fallback's edge
+    duplication Σ(boundary cells × 32 B × edges) fits EDGE_DUP_BUDGET_BYTES.
+    Fine covers multiply boundary-cell counts, and the fallback ships each
+    zone's whole edge blob once per boundary cell — unbounded at zoom 20."""
+    from libgeodesk_spark.geom.zones import coarsen_cover
+    covers = [z.cover for z in zones]
+    k = 0
+    while True:
+        dup = sum(sum(1 for v in cov.values() if v == BOUNDARY) * 32
+                  * len(z.edges) for z, cov in zip(zones, covers))
+        zoom = zones[0].zoom - k
+        if dup <= EDGE_DUP_BUDGET_BYTES or zoom <= 1:
+            return k, covers
+        covers = [coarsen_cover(c, 1) for c in covers]
+        k += 1
+
+
 def join_zones(points: DataFrame, zones: list[PreparedZone],
                predicate: Predicate = "within",
                cell_col: str = "cell_id", x_col: str = "x", y_col: str = "y",
@@ -126,6 +247,7 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
                columns: list[str] | None = None,
                single_pass: bool = False,
                spread_boundary: bool = False,
+               jvm_pip: bool = False,
                max_broadcast_edges: int = EDGE_BROADCAST_LIMIT) -> DataFrame:
     """points × zones point-in-polygon join.
 
@@ -134,7 +256,10 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
     predicate semantics.
 
     Physical shape: one broadcast hash join on ``cell_id`` (no shuffle of
-    the fact side), then either
+    the fact side), then — for zone sets whose total edges fit
+    ``JVM_PIP_MAX_EDGES`` and ``jvm_pip`` (default) — a single
+    whole-stage-codegen filter with the locate kernel compiled to Column
+    arithmetic (no Python at all). Otherwise either
 
     * ``single_pass=False`` (default): a pure-JVM filter for INSIDE-cover
       rows unioned with an Arrow ``mapInPandas`` locate over BOUNDARY-cover
@@ -171,6 +296,7 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
                             prefilter_bbox=prefilter_bbox, columns=columns,
                             single_pass=single_pass,
                             spread_boundary=spread_boundary,
+                            jvm_pip=jvm_pip,
                             max_broadcast_edges=max_broadcast_edges)
                  for zm in zooms]
         out = parts[0]
@@ -182,15 +308,16 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
     out_cols = list(columns) if columns is not None else \
         [c for c in points.columns]
     need = list(dict.fromkeys(out_cols + [x_col, y_col]))
-    points = points.select(
-        *need, cover_key_col(F.col(x_col), F.col(y_col), cover_zoom)
-        .alias("_ck"))
-
-    zc = zone_cells_df(spark, zones)
     total_edges = sum(len(z.edges) for z in zones)
     final_cols = list(dict.fromkeys(out_cols + ["zone_id"]))
 
     if total_edges > max_broadcast_edges:
+        k, fb_covers = _fit_fallback_covers(zones)
+        fb_zoom = cover_zoom - k
+        points = points.select(
+            *need, cover_key_col(F.col(x_col), F.col(y_col), fb_zoom)
+            .alias("_ck"))
+        zc = zone_cells_df(spark, zones, covers=fb_covers)
         # SHUFFLE-JOIN FALLBACK (SURVEY §7.4 broadcast-size discipline):
         # the edge set is too big to ship whole to every executor. Turbo
         # rows stay pure JVM; boundary rows CO-GROUP with per-cell edge
@@ -203,7 +330,8 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
         turbo = candk.filter(F.col("cover") == INSIDE).select(*final_cols)
         bnd_cols = list(dict.fromkeys(final_cols + [x_col, y_col, "_ck"]))
         bnd = candk.filter(F.col("cover") == BOUNDARY).select(*bnd_cols)
-        edge_tbl = spark.createDataFrame(_edge_cells_pdf(zones))
+        edge_tbl = spark.createDataFrame(
+            _edge_cells_pdf(zones, covers=fb_covers))
         out_schema = turbo.schema
         min_loc_f = min_loc
 
@@ -221,9 +349,39 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
             .applyInPandas(locate_group, schema=out_schema)
         return turbo.unionByName(boundary)
 
-    cand = points.join(F.broadcast(zc),
-                       points["_ck"] == zc["cover_key"], "inner") \
-        .drop("cover_key", "_ck")
+    # broadcast path: interval build side (run-length cover) — equi-join
+    # on the cell row with a col-range residual inside the same broadcast
+    # hash join; the build is ~1k rows/zone instead of ~70k cells/zone
+    shift = 32 - cover_zoom
+    points = points.select(
+        *need,
+        F.shiftright(F.col(x_col).cast("long") + F.lit(1 << 31), shift)
+        .alias("_cc"),
+        F.shiftright(F.lit(0x7FFFFFFF) - F.col(y_col).cast("long"), shift)
+        .alias("_rr"))
+    iv = zone_intervals_df(spark, zones)
+    cand = points.join(
+        F.broadcast(iv),
+        (F.col("_rr") == F.col("cell_row"))
+        & (F.col("_cc") >= F.col("c0")) & (F.col("_cc") <= F.col("c1")),
+        "inner").drop("cell_row", "c0", "c1", "_cc", "_rr")
+
+    if jvm_pip and total_edges <= JVM_PIP_MAX_EDGES and not single_pass:
+        # CODEGEN PATH (small zone sets): the locate kernel compiles to
+        # Column arithmetic, so the ENTIRE join is one scan -> broadcast
+        # hash join -> whole-stage-codegen filter. No Python, no union,
+        # no second scan; scaling tracks the scan.
+        pxl = F.col(x_col).cast("long")
+        pyl = F.col(y_col).cast("long")
+        pip = None
+        for z in zones:
+            cond = _pip_jvm_expr(z, pxl, pyl, min_loc)
+            pip = F.when(F.col("zone_id") == z.zone_id, cond) if pip is None \
+                else pip.when(F.col("zone_id") == z.zone_id, cond)
+        accept = (F.col("cover") == INSIDE) \
+            | ((F.col("cover") == BOUNDARY) & pip.otherwise(F.lit(False)))
+        return cand.filter(accept).select(*final_cols)
+
     edges_bc = spark.sparkContext.broadcast(
         {z.zone_id: z.edges for z in zones})
 

@@ -65,7 +65,8 @@ def morton_key_sql(x: str = "x", y: str = "y", bits: int = MORTON_BITS) -> str:
 def write_gol_layout(df: DataFrame, path: str,
                      part_zoom: int = DEFAULT_PART_ZOOM,
                      zoom: int = mercator.MAX_ZOOM,
-                     bloom_cols: tuple[str, ...] = ("image_id",)) -> None:
+                     bloom_cols: tuple[str, ...] = ("image_id",),
+                     n_files: int | None = None) -> None:
     """Write ``df`` (must carry x, y, cell_id) cell-partitioned and
     Z-order-clustered.
 
@@ -73,11 +74,21 @@ def write_gol_layout(df: DataFrame, path: str,
     analog of the reference's key-bucketed secondary indexes
     (Matcher.h:128-133 acceptIndex skips whole R-tree roots whose key
     bucket can't match; a bloom filter skips whole row groups whose key
-    set can't match). Columns absent from the frame are ignored."""
+    set can't match). Columns absent from the frame are ignored.
+
+    ``n_files`` (default 4× parallelism): range-partition on
+    (part_cell, zorder) instead of hashing part_cell whole — a dense
+    (hot) cell's rows span SEVERAL contiguous-z files instead of one,
+    so scans of a hot cell parallelize across tasks without a shuffle
+    and no single write task owns a whole hot cell (write-skew). Range
+    boundaries come from sampling, so file count tracks data share."""
+    spark = df.sparkSession
+    if n_files is None:
+        n_files = spark.sparkContext.defaultParallelism * 4
     out = df.withColumn(
         "part_cell", cell_zoomed_out(F.col("cell_id"), part_zoom, zoom)) \
         .withColumn("_z", morton_key(F.col("x"), F.col("y")))
-    w = (out.repartition("part_cell")
+    w = (out.repartitionByRange(n_files, "part_cell", "_z")
          .sortWithinPartitions("part_cell", "_z")
          .drop("_z")
          .write.mode("overwrite")

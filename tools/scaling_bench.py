@@ -1,9 +1,21 @@
-"""Scaling-efficiency evidence: run bench.py at local[8] and local[32]
-(same input, same seed) and write BENCH/BASELINE.md.
+"""Scaling-efficiency evidence + headline pin: run bench.py at local[8]
+and local[32] (same input, same seed) and write BENCH/BASELINE.md.
 
 The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
 >= 0.8) cannot use a real cluster in this sandbox; per the driver
 instruction it is evidenced by the same job at two parallelism levels.
+
+Two sections, two inputs:
+
+* **Pinned headline** — one fresh cold run at the driver's exact defaults
+  (sf0.1, repl=4, local[32], median-of-3 trials). This is the number a
+  per-round `python bench.py` must reproduce; pinned from the SAME
+  harness the driver runs, no best-of selection.
+* **Scaling** — repl=64 (~29M images), because at repl=4 the heavyweight
+  stages finish in ~1s at 32 cores and fixed per-query scheduling
+  (~0.3-0.5s) swamps the parallel fraction; efficiency measured there
+  reflects Amdahl overhead of a toy input, not the engine. Each level
+  keeps the MEDIAN full run of SPARK_GRAFT_SCALING_RUNS (default 3).
 
 Usage: python tools/scaling_bench.py [sf_dir] [repl]
 """
@@ -19,7 +31,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, sf_dir: str, repl: int) -> dict:
+def run_at(cpus: int, sf_dir: str, repl: int, trials: int | None = None) -> dict:
     """Run bench.py with BOTH the executor-thread count and the OS CPU
     budget set to ``cpus`` (taskset) — python UDF workers are extra
     processes beyond local[N]'s N threads, so without CPU pinning a
@@ -29,6 +41,8 @@ def run_at(cpus: int, sf_dir: str, repl: int) -> dict:
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_BENCH_REPL=str(repl))
+    if trials is not None:
+        env["SPARK_GRAFT_BENCH_TRIALS"] = str(trials)
     cmd = ["taskset", "-c", f"0-{cpus - 1}",
            sys.executable, os.path.join(REPO, "bench.py")]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
@@ -84,22 +98,34 @@ def hardware_controls() -> dict:
     return out
 
 
+def median_run(runs: list[dict]) -> dict:
+    """The run whose total wall value is the median — a full coherent run,
+    not a per-query cherry-pick."""
+    ordered = sorted(runs, key=lambda r: r["value"])
+    return ordered[len(ordered) // 2]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    results = {}
+    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+
+    # --- pinned headline: driver defaults, one fresh cold subprocess ---
+    pin = run_at(32, sf_dir, 4)
+    print(f"pin (sf0.1, repl=4, local[32], cold): {pin}", flush=True)
+
+    # --- scaling: repl=64, median of n_runs full runs per level ---
+    results = {}
     for cpus in (8, 32):
         t0 = time.time()
-        best = None
-        for _ in range(n_runs):
-            r = run_at(cpus, sf_dir, repl)
-            if best is None or r["value"] < best["value"]:
-                # keep the fastest full run; per-query times from that run
-                best = r
-        results[cpus] = best
-        print(f"local[{cpus}]: {best} ({time.time()-t0:.0f}s, best of {n_runs})",
-              flush=True)
+        # 5 in-session trials per query: the first 2-3 heavy trials fault
+        # in the pinned heap (see session.py), so the median must land in
+        # steady state
+        runs = [run_at(cpus, sf_dir, repl, trials=5) for _ in range(n_runs)]
+        results[cpus] = median_run(runs)
+        results[cpus]["_all_wall"] = [r["value"] for r in runs]
+        print(f"local[{cpus}]: {results[cpus]} ({time.time()-t0:.0f}s, "
+              f"median of {n_runs})", flush=True)
 
     r8, r32 = results[8], results[32]
     rows = []
@@ -118,12 +144,50 @@ def main():
                  / (r8["n_images"] * 3 / r8["value"])) / 4.0
 
     md = [
-        "# BENCH — scaling evidence (local[8] vs local[32])",
+        "# BENCH — pinned headline + scaling evidence",
         "",
-        "Methodology: this sandbox is a shared VM with high run-to-run",
-        "variance; each parallelism level reports the fastest of several",
-        "full runs (SPARK_GRAFT_SCALING_RUNS, default 3), each query the",
-        "fastest of SPARK_GRAFT_BENCH_TRIALS=2 in-session trials.",
+        "## Pinned headline (the number a per-round `python bench.py` "
+        "must reproduce)",
+        "",
+        "One fresh cold subprocess at the driver's exact defaults: sf0.1, "
+        "repl=4, local[32],",
+        "median-of-3 in-session trials per query (no best-of selection "
+        "anywhere).",
+        "",
+        f"`{json.dumps(pin)}`",
+        "",
+        f"Wall **{pin['value']:.2f} s** — spatial_join_within "
+        f"{pin['queries']['spatial_join_within']:.2f} s "
+        f"({pin['images_per_sec_spatial_join']:,} img/s), tile_reencode "
+        f"{pin['queries']['tile_reencode']:.2f} s "
+        f"({pin['images_per_sec_reencode']:,} img/s).",
+        "",
+        "Round-1 postmortem: the driver's r1 run showed spatial_join at "
+        "17.8 s where the repo",
+        "pinned 2.2 s. Root cause found and fixed: Spark's shuffle scratch "
+        "sat on the sandbox's",
+        "virtio ext4 root disk mounted with `discard`, so shuffle-file "
+        "create/delete churn issued",
+        "synchronous TRIMs — identical joins swung 5.5-36.7 s with >50% "
+        "kernel time. Scratch now",
+        "lives on tmpfs (session.py; on a real cluster: local NVMe), and "
+        "the old pin was",
+        "best-of-N at repl=16 — both replaced by this cold median pin at "
+        "driver defaults.",
+        "",
+        "## Scaling (local[8] vs local[32])",
+        "",
+        "Methodology: each parallelism level keeps the MEDIAN of "
+        f"{n_runs} full runs",
+        "(SPARK_GRAFT_SCALING_RUNS); each query inside a run is the median "
+        "of 5 in-session",
+        "trials (the first 2-3 heavy trials fault in the pinned JVM heap). "
+        "Replication 64 (not the headline's 4): at repl=4 the "
+        "heavyweight stages finish",
+        "in ~1 s at 32 cores and fixed per-query scheduling (~0.3-0.5 s) "
+        "swamps the parallel",
+        "fraction — efficiency there measures Amdahl overhead of a toy "
+        "input, not the engine.",
         "",
         f"Input: derived points at `{sf_dir}` × replication {repl} = "
         f"{r32['n_images']:,} images; identical input and seed at both "
@@ -140,6 +204,9 @@ def main():
         f"{r8['n_images']*3/r8['value']:,.0f} | {r32['n_images']*3/r32['value']:,.0f} | "
         f"{total_eff:.2f} |",
         "",
+        f"All-run walls: local[8] {r8['_all_wall']}, local[32] "
+        f"{r32['_all_wall']} (median kept).",
+        "",
         f"Raw local[8]:  `{json.dumps(r8)}`",
         "",
         f"Raw local[32]: `{json.dumps(r32)}`",
@@ -148,7 +215,7 @@ def main():
         "is CPU-pinned with taskset (JVM threads + python UDF workers share",
         "exactly N cores), the faithful sandbox stand-in for N vs 4N",
         "executors. Per-query efficiency is throughput-based; short",
-        "queries (<1s) carry scheduling noise.",
+        "queries (<1s, knn_k50 and window_scan) carry scheduling noise.",
     ]
     ctl = hardware_controls()
     md += [
