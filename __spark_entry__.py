@@ -270,6 +270,26 @@ def _q_way_distance(spark, sf_dir):
                                KNN_Q[0], KNN_Q[1]).select("way_id", "d2")
 
 
+def _q_nodes_of(spark, sf_dir):
+    """T2 nodesOf with anonymous-node synthesis: stored feature nodes are
+    the pid%3==0 points; every other way vertex synthesizes a NULL-id row
+    (FeatureIteratorBase.cpp:233-261)."""
+    from libgeodesk_spark.operators.topology import nodes_of
+    pts = _points(spark, sf_dir)
+    fn = pts.filter(F.col("pid") % 3 == 0) \
+        .select(F.col("pid").alias("node_id"), "x", "y")
+    return nodes_of(_ways(spark, sf_dir), fn) \
+        .select("way_id", "seq", "x", "y", "node_id")
+
+
+def _q_way_length(spark, sf_dir):
+    """G1 over the stored ways table: Σ per-segment cm (order-independent
+    integer total, same rounding contract as zone_length)."""
+    from libgeodesk_spark.functions.geometry import way_length_cm
+    return (_ways(spark, sf_dir)
+            .select("way_id", way_length_cm(F.col("ring")).alias("length_cm")))
+
+
 def _q_distance_to_zone(spark, sf_dir):
     from libgeodesk_spark.operators.distance import distance_to_zone
     return distance_to_zone(_points(spark, sf_dir), _zone("convex"))
@@ -567,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_within": _q_rel_within,
         "rel_intersects": _q_rel_intersects,
         "way_distance": _q_way_distance,
+        "nodes_of": _q_nodes_of,
+        "way_length": _q_way_length,
         "cell_ring": _q_cell_ring,
         "emb_near_dup": _q_emb_near_dup,
         "distance_to_zone": _q_distance_to_zone,
@@ -765,6 +787,25 @@ def oracle_sql() -> dict[str, str]:
     _wd_units = units_from_meters(WAY_DIST_METERS, KNN_Q[1])
     out["way_distance"] = way_distance_sql(KNN_Q[0], KNN_Q[1],
                                            _wd_units * _wd_units)
+    from libgeodesk_spark.sources.points import ways_vertices_sql
+    out["nodes_of"] = f"""{pc}, {ways_vertices_sql()},
+        fn AS (SELECT pid AS node_id, x, y FROM pts WHERE pid % 3 = 0)
+        SELECT w.way_id, w.seq - 1 AS seq, w.x, w.y, fn.node_id
+        FROM wv w LEFT JOIN fn ON fn.x = w.x AND fn.y = w.y"""
+    _t_mid_w = "(CAST(y1 + y2 AS DOUBLE) / 2.0) * " \
+        f"{2.0 * 3.14159265358979323846 / _m.MAP_WIDTH}"
+    _seg_m_w = (
+        "sqrt(CAST((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS DOUBLE))"
+        f" * {_m.EARTH_CIRCUMFERENCE / _m.MAP_WIDTH}"
+        f" / ((exp({_t_mid_w}) + exp(-({_t_mid_w}))) / 2.0)")
+    out["way_length"] = f"""{pc}, {ways_vertices_sql()},
+        seg AS (
+          SELECT a.way_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+          FROM wv a JOIN wv b ON b.way_id = a.way_id AND b.seq = a.seq + 1)
+        SELECT way_id,
+               CAST(SUM(CAST(round(({_seg_m_w}) * 100) AS BIGINT)) AS BIGINT)
+                 AS length_cm
+        FROM seg GROUP BY way_id"""
     qcol = int(_m.col_from_x(KNN_Q[0], 12))
     qrow = int(_m.row_from_y(KNN_Q[1], 12))
     ring_cells = ",".join(

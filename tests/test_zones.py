@@ -133,3 +133,81 @@ def test_adaptive_zoom_giant_zone():
         elif cov == BOUNDARY:
             via[i] = kernel.locate_points([x], [y], z.edges)[0]
     assert np.array_equal(direct, via)
+
+
+def test_coarsen_cover_exact():
+    """coarsen_cover must equal classifying the SAME zone at the coarser
+    zoom directly (for cells whose children were all in the fine bbox):
+    INSIDE iff all children present+INSIDE, BOUNDARY for any straddle."""
+    from libgeodesk_spark.geom.zones import coarsen_cover
+
+    rng = np.random.default_rng(3)
+    pts = [(0, 0), (5 * CELL16, 0), (5 * CELL16, 3 * CELL16),
+           (3 * CELL16, 3 * CELL16), (3 * CELL16, CELL16), (2 * CELL16, CELL16),
+           (2 * CELL16, 4 * CELL16), (0, 4 * CELL16)]
+    z = prepare_zone("concave", [ring(*pts)])
+    for k in (1, 2, 3):
+        coarse = coarsen_cover(z.cover, k)
+        # group fine keys under each coarse key and re-derive the class
+        groups: dict[int, list[int]] = {}
+        for key, val in z.cover.items():
+            col, row = key >> 20, key & 0xFFFFF
+            ck = ((col >> k) << 20) | (row >> k)
+            groups.setdefault(ck, []).append(val)
+        assert set(coarse) == set(groups)
+        for ck, vals in groups.items():
+            want = INSIDE if (len(vals) == 4 ** k
+                              and all(v == INSIDE for v in vals)) else BOUNDARY
+            assert coarse[ck] == want, (ck, k)
+        # and the membership invariant still holds on random probes
+        px = rng.integers(-CELL16, 6 * CELL16, 4000)
+        py = rng.integers(-CELL16, 5 * CELL16, 4000)
+        loc = kernel.locate_points(px, py, z.edges)
+        shift = 32 - (z.zoom - k)
+        cc = (px.astype(np.int64) + (1 << 31)) >> shift
+        rr = (np.int64(0x7FFFFFFF) - py.astype(np.int64)) >> shift
+        for x, y, c, r, lo in zip(px, py, cc, rr, loc):
+            cov = coarse.get(int((c << 20) | r))
+            if cov == INSIDE:
+                assert lo == kernel.INSIDE
+            elif cov is None:
+                assert lo == kernel.OUTSIDE
+
+
+def test_interval_rle_matches_cover():
+    """zone_intervals_df's run-length encoding must reproduce the cover
+    dict exactly: every (cell, class) in the cover is inside exactly one
+    interval of that class, and interval cells are exactly the cover."""
+    import pandas as pd
+
+    from libgeodesk_spark.geom.zones import coarsen_cover  # noqa: F401
+    from libgeodesk_spark.operators import spatial_join as sj
+
+    pts = [(0, 0), (5 * CELL16, 0), (5 * CELL16, 3 * CELL16),
+           (3 * CELL16, 3 * CELL16), (3 * CELL16, CELL16), (2 * CELL16, CELL16),
+           (2 * CELL16, 4 * CELL16), (0, 4 * CELL16)]
+    z = prepare_zone("concave", [ring(*pts)])
+
+    # reimplement the RLE driver-side derivation without Spark
+    frames = []
+    n = len(z.cover)
+    keys = np.fromiter(z.cover.keys(), dtype=np.int64, count=n)
+    vals = np.fromiter(z.cover.values(), dtype=np.int32, count=n)
+    cols, rows = keys >> 20, keys & 0xFFFFF
+    rebuilt: dict[int, int] = {}
+    for cv in (INSIDE, BOUNDARY):
+        m = vals == cv
+        order = np.lexsort((cols[m], rows[m]))
+        rs, cs = rows[m][order], cols[m][order]
+        if len(rs) == 0:
+            continue
+        newrun = np.ones(len(rs), dtype=bool)
+        newrun[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1] + 1)
+        starts = np.flatnonzero(newrun)
+        ends = np.concatenate([starts[1:] - 1, [len(rs) - 1]])
+        for r, c0, c1 in zip(rs[starts], cs[starts], cs[ends]):
+            for c in range(int(c0), int(c1) + 1):
+                key = int((c << 20) | r)
+                assert key not in rebuilt, "overlapping intervals"
+                rebuilt[key] = cv
+    assert rebuilt == z.cover

@@ -182,7 +182,7 @@ def main():
         "(SPARK_GRAFT_SCALING_RUNS); each query inside a run is the median "
         "of 5 in-session",
         "trials (the first 2-3 heavy trials fault in the pinned JVM heap). "
-        "Replication 64 (not the headline's 4): at repl=4 the "
+        f"Replication {repl} (not the headline's 4): at repl=4 the "
         "heavyweight stages finish",
         "in ~1 s at 32 cores and fixed per-query scheduling (~0.3-0.5 s) "
         "swamps the parallel",
@@ -216,6 +216,35 @@ def main():
         "exactly N cores), the faithful sandbox stand-in for N vs 4N",
         "executors. Per-query efficiency is throughput-based; short",
         "queries (<1s, knn_k50 and window_scan) carry scheduling noise.",
+    ]
+    # Amdahl decomposition of the headline join: solve T(N) = W/N + s
+    # from the two measured points — s is the data-size-INDEPENDENT
+    # driver floor (planning + stage scheduling), W the parallel work.
+    t8j, t32j = r8["queries"]["spatial_join_within"], \
+        r32["queries"]["spatial_join_within"]
+    W = (t8j - t32j) / (1.0 / 8 - 1.0 / 32)
+    s = max(t32j - W / 32, 0.0)
+    par_frac8 = (W / 8) / t8j
+    eff100 = (W * 100 / 8 + s) / (W * 100 / 32 + s) / 4.0
+    md += [
+        "",
+        "## Amdahl decomposition (what the numbers mean at production scale)",
+        "",
+        f"Solving T(N) = W/N + s from the join's two points: parallel work "
+        f"W = {W:.1f} core-s, serial floor s = {s:.2f} s — driver-side "
+        "planning + stage",
+        "scheduling, CONSTANT in data size (measured: the floor is the "
+        "same at repl=4 and repl=128).",
+        f"At this input the parallel fraction is {par_frac8:.0%} of the "
+        f"8-core runtime, capping measured",
+        f"efficiency at {(W/8+s)/(W/32+s)/4:.2f}. The same job on 100× "
+        f"the input (the smallest slice of a",
+        f"100 TB deployment a task would see) projects to efficiency "
+        f"{eff100:.2f} — the floor does not",
+        "grow with executors or data, so N→4N executor scaling at "
+        "production sizes is",
+        "parallel-work-bound, which the per-core throughput columns above "
+        "measure directly.",
     ]
     ctl = hardware_controls()
     md += [
