@@ -49,3 +49,44 @@ def stream_cell_counts(spark: SparkSession, src_dir: str, schema: str,
     return (tagged.withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window), F.col("cell_id"))
             .agg(F.count("*").alias("n")))
+
+
+def stream_first_seen(stream: DataFrame, key_col: str = "phash",
+                      id_col: str = "image_id") -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    exactly-once first-seen dedup — emit each key's first row, ever,
+    across micro-batches; later occurrences only bump a per-key count
+    held in the state store (checkpointed with the query, so a restart
+    resumes the dedup set).
+
+    This is the streaming half of the exact-dedup pipeline op
+    (operators/dedup.exact_dedup is the batch half): at ingest time it
+    collapses re-crawled/re-uploaded images by content key before any
+    downstream work sees them. State is one long per key — ~16 B amortized
+    per distinct key in the store, partitioned by the shuffle on key_col,
+    i.e. horizontally scalable and skew-safe for hash-like keys."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, {id_col} string, n_dups long"
+    state_schema = "n long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        total = 0
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            total += len(pdf)
+            cand = pdf[id_col].min()   # deterministic pick within a batch
+            if first_id is None or cand < first_id:
+                first_id = cand
+        seen = state.get[0] if state.exists else 0
+        state.update((seen + total,))
+        if seen == 0 and total > 0:
+            yield pd.DataFrame({key_col: [key[0]], id_col: [first_id],
+                                "n_dups": [total - 1]})
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

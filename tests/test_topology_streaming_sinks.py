@@ -108,6 +108,40 @@ class TestStreaming:
         assert len(got) == 2   # two 1-minute windows
 
 
+    def test_stateful_first_seen_dedup(self, spark, tmp_path):
+        """applyInPandasWithState first-seen dedup: one output row per key
+        across micro-batches, count of duplicates tracked in state."""
+        from libgeodesk_spark.streaming.ingest import stream_first_seen
+        src = str(tmp_path / "imgs")
+        ck = str(tmp_path / "ck_dedup")
+        rows1 = [(100, "img_b"), (100, "img_a"), (200, "img_c")]
+        rows2 = [(100, "img_d"), (300, "img_e")]   # 100 is a dup of batch 1
+        spark.createDataFrame(rows1, "phash long, image_id string") \
+            .write.parquet(src + "/b1")
+        out = str(tmp_path / "out_dedup")
+
+        def run_epoch():
+            stream = spark.readStream.schema("phash long, image_id string") \
+                .parquet(src + "/*")
+            q = (stream_first_seen(stream).writeStream.format("parquet")
+                 .option("path", out).option("checkpointLocation", ck)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_epoch()
+        got1 = {r.phash: (r.image_id, r.n_dups)
+                for r in spark.read.parquet(out).collect()}
+        assert got1 == {100: ("img_a", 1), 200: ("img_c", 0)}
+        # batch 2: key 100 must NOT re-emit (state persisted via checkpoint)
+        spark.createDataFrame(rows2, "phash long, image_id string") \
+            .write.parquet(src + "/b2")
+        run_epoch()
+        got2 = {r.phash: (r.image_id, r.n_dups)
+                for r in spark.read.parquet(out).collect()}
+        assert got2 == {100: ("img_a", 1), 200: ("img_c", 0),
+                        300: ("img_e", 0)}
+
+
 class TestSinks:
     def test_wkt_and_geojson(self, spark):
         from libgeodesk_spark.sources.sinks import (
