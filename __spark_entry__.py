@@ -290,6 +290,35 @@ def _q_way_length(spark, sf_dir):
             .select("way_id", way_length_cm(F.col("ring")).alias("length_cm")))
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Structured Streaming STATEFUL dedup (applyInPandasWithState) driven
+    as two availableNow epochs through one checkpoint: even-pid rows land
+    in epoch 1, odd-pid rows in epoch 2; each phash%256 key emits exactly
+    once — the first epoch that saw it — with its in-epoch duplicate
+    count. Deterministic, so it has an exact SQL oracle."""
+    import tempfile
+
+    from libgeodesk_spark.streaming.ingest import stream_first_seen
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    pts = _points(spark, sf_dir).select(
+        (F.col("phash") % 256).alias("key"), "image_id", "pid")
+
+    def epoch(batch_df, sub):
+        batch_df.drop("pid").write.parquet(f"{src}/{sub}")
+        stream = spark.readStream.schema("key long, image_id string") \
+            .parquet(src + "/*")
+        q = (stream_first_seen(stream, key_col="key")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    epoch(pts.filter(F.col("pid") % 2 == 0), "b1")
+    epoch(pts.filter(F.col("pid") % 2 != 0), "b2")
+    return spark.read.parquet(out).select("key", "image_id", "n_dups")
+
+
 def _q_distance_to_zone(spark, sf_dir):
     from libgeodesk_spark.operators.distance import distance_to_zone
     return distance_to_zone(_points(spark, sf_dir), _zone("convex"))
@@ -589,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_distance": _q_way_distance,
         "nodes_of": _q_nodes_of,
         "way_length": _q_way_length,
+        "stream_dedup": _q_stream_dedup,
         "cell_ring": _q_cell_ring,
         "emb_near_dup": _q_emb_near_dup,
         "distance_to_zone": _q_distance_to_zone,
@@ -787,6 +817,19 @@ def oracle_sql() -> dict[str, str]:
     _wd_units = units_from_meters(WAY_DIST_METERS, KNN_Q[1])
     out["way_distance"] = way_distance_sql(KNN_Q[0], KNN_Q[1],
                                            _wd_units * _wd_units)
+    out["stream_dedup"] = f"""{pc},
+        k AS (SELECT phash % 256 AS key, image_id, pid FROM pts),
+        g AS (SELECT key,
+                     SUM(CASE WHEN pid % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+                     MIN(CASE WHEN pid % 2 = 0 THEN image_id END) AS id_even,
+                     MIN(image_id) AS id_any,
+                     COUNT(*) AS n_all
+              FROM k GROUP BY key)
+        SELECT key,
+               CASE WHEN n_even > 0 THEN id_even ELSE id_any END AS image_id,
+               CAST(CASE WHEN n_even > 0 THEN n_even - 1
+                         ELSE n_all - 1 END AS BIGINT) AS n_dups
+        FROM g"""
     from libgeodesk_spark.sources.points import ways_vertices_sql
     out["nodes_of"] = f"""{pc}, {ways_vertices_sql()},
         fn AS (SELECT pid AS node_id, x, y FROM pts WHERE pid % 3 = 0)

@@ -45,7 +45,13 @@ MH_AS = (2654435761, 2246822519, 3266489917, 668265263,
 MH_BS = (88675123, 123456789, 362436069, 521288629,
          2463534242, 187232452, 67867967, 516229973)
 SHINGLE = 5                        # character shingle length
-DEGEN_CAP = 100                    # stop-shingle document-frequency cap (scale guard)
+DEGEN_CAP = 100    # stop-shingle df cap FLOOR (absolute, for small corpora)
+#: the cap must SCALE with corpus size: an absolute cap at 16x the corpus
+#: classified most shingles as "degenerate" and silently erased most docs'
+#: signatures (measured: 80k-doc corpus -> 75 minhash buckets). Effective
+#: cap = max(DEGEN_CAP, DEGEN_FRAC x corpus docs) — a stop-shingle is one
+#: shared by >2% of documents, the scale-free definition.
+DEGEN_FRAC = 0.02
 
 
 def _h60(col):
@@ -186,9 +192,16 @@ def shingles(df: DataFrame, col="text", id_col="doc_id",
         # broadcast the DEGENERATE list (df > cap — tiny by construction:
         # stop-shingles are the handful shared by everything) and anti-join;
         # broadcasting the keep list would ship the near-full shingle
-        # vocabulary to every executor
-        degenerate = out.groupBy("sh").agg(F.count("*").alias("df")) \
-            .filter(F.col("df") > max_df).select("sh")
+        # vocabulary to every executor. The cap scales with corpus size
+        # (max(max_df, DEGEN_FRAC x docs)) via a 1-row cross join — no
+        # driver-side count, stays one plan.
+        total = df.select(F.count(F.lit(1)).alias("n_docs"))
+        degenerate = (out.groupBy("sh").agg(F.count("*").alias("df"))
+                      .crossJoin(F.broadcast(total))
+                      .filter(F.col("df") > F.greatest(
+                          F.lit(max_df),
+                          (F.col("n_docs") * F.lit(DEGEN_FRAC)).cast("long")))
+                      .select("sh"))
         out = out.join(F.broadcast(degenerate), "sh", "left_anti")
     return out
 
@@ -196,8 +209,12 @@ def shingles(df: DataFrame, col="text", id_col="doc_id",
 def shingle_df_stats(df: DataFrame, col="text", id_col="doc_id") -> DataFrame:
     """(dropped, n_shingles) — surfaces what the DEGEN_CAP filter drops."""
     sh = shingles(df, col, id_col, max_df=None)
+    total = df.select(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(F.lit(DEGEN_CAP),
+                     (F.col("n_docs") * F.lit(DEGEN_FRAC)).cast("long"))
     return (sh.groupBy("sh").agg(F.count("*").alias("df"))
-            .groupBy((F.col("df") > DEGEN_CAP).alias("dropped"))
+            .crossJoin(F.broadcast(total))
+            .groupBy((F.col("df") > cap).alias("dropped"))
             .agg(F.count("*").alias("n_shingles")))
 
 
@@ -209,7 +226,8 @@ def _shingles_sql(table, col, id_col) -> str:
           FROM (SELECT {id_col}, lower(trim({col})) AS t FROM {table}),
                LATERAL unnest(generate_series(1, greatest(length(t) - {SHINGLE - 1}, 0))) AS u(i)
         )
-      ) WHERE df <= {DEGEN_CAP}
+      ) WHERE df <= greatest({DEGEN_CAP},
+                             CAST({DEGEN_FRAC} * (SELECT COUNT(*) FROM {table}) AS BIGINT))
     """
 
 
