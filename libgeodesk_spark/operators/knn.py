@@ -168,18 +168,27 @@ def knn_batch(points: DataFrame, queries: list[tuple], k: int,
                 .select("qid", id_col, x_col, y_col,
                         (dx * dx + dy * dy).alias("sq_dist"))
                 .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
-        got = topk.toPandas()
+                .filter(F.col("rank") <= k)).persist()
+        # stop test folded into ONE aggregation: the driver receives one
+        # (n, kth-distance) row per pending query, never k x |pending|
+        # candidate rows — at 10^5 concurrent queries the per-iteration
+        # driver transfer is |pending| rows instead of k x |pending|
+        stats = {row["qid"]: (row["n"], row["kth"])
+                 for row in topk.groupBy("qid")
+                 .agg(F.count("*").alias("n"),
+                      F.max("sq_dist").alias("kth")).collect()}
         done = []
         for qid, (qx, qy) in list(pending.items()):
-            sub = got[got.qid == qid]
+            n, kth = stats.get(qid, (0, None))
             qcol = int(col_from_x(qx, zoom))
             qrow = int(row_from_y(qy, zoom))
             gap = _covered_gap(qx, qy, qcol, qrow, r, zoom)
-            if gap is None or (len(sub) >= k
-                               and int(sub.sq_dist.max()) < gap * gap):
-                out_frames.append(sub)
+            if gap is None or (n >= k and int(kth) < gap * gap):
                 done.append(qid)
+        if done:
+            out_frames.append(
+                topk.filter(F.col("qid").isin(done)).toPandas())
+        topk.unpersist()
         for qid in done:
             del pending[qid]
         r *= 2
