@@ -1,0 +1,117 @@
+"""ANN scale evidence: LSH bucket / IVF list size distributions + recall
+at a replicated embedding corpus, written to BENCH/ANN.md.
+
+Complements the gate's ann_recall (sf0.01): here the corpus is replicated
+with deterministic jitter so bucket-count auto-scaling (auto_planes) and
+IVF k-means actually face a bigger N, and we verify (a) bucket sizes stay
+near LSH_TARGET_BUCKET, (b) IVF lists stay balanced, (c) recall@k holds.
+
+Usage: python tools/ann_scale_bench.py [sf_dir] [repl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from pyspark.sql import functions as F
+
+    from libgeodesk_spark.operators import ann
+    from libgeodesk_spark.session import build_session
+
+    spark = build_session("ann-scale", cpus=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n0 = emb.count()
+    # deterministic jittered replication: replica i shifts each component
+    # by a tiny id-dependent offset, so replicas are near-neighbors (the
+    # hard case: ANN must separate them into consistent buckets), not
+    # byte-identical rows
+    r = F.explode(F.array(*[F.lit(i) for i in range(repl)])).alias("rep")
+    big = (emb.select("*", r)
+           .withColumn("vec_id", F.col("vec_id") * repl + F.col("rep"))
+           .withColumn(
+               "embedding",
+               F.transform("embedding",
+                           lambda v, i: v + (F.col("rep") * (i + 1) % 7)
+                           .cast("float") / 1000.0))
+           .drop("rep"))
+    n = big.count()
+    out = {"sf": sf_dir, "repl": repl, "vectors": n, "base": n0}
+
+    # --- LSH bucket distribution at auto-scaled plane count ---
+    planes = ann.auto_planes(n)
+    sig = big.select(ann.lsh_signature(F.col("embedding"), 64, planes)
+                     .alias("bucket"))
+    row = sig.groupBy("bucket").count().agg(
+        F.count("*").alias("n_buckets"), F.max("count").alias("max"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.avg("count").alias("mean")).collect()[0]
+    out["lsh"] = {"planes": planes, "target": ann.LSH_TARGET_BUCKET,
+                  **{k: float(row[k]) for k in ("n_buckets", "max",
+                                                "p99", "mean")}}
+
+    # --- IVF list balance with trained centroids ---
+    t0 = time.time()
+    cents = ann.ivf_centroids(big)
+    out["ivf_train_sec"] = round(time.time() - t0, 2)
+    assigned = ann.ivf_assign(big, cents)
+    row = assigned.groupBy("list_id").count().agg(
+        F.count("*").alias("n_lists"), F.max("count").alias("max"),
+        F.min("count").alias("min"), F.avg("count").alias("mean")).collect()[0]
+    out["ivf"] = {k: float(row[k]) for k in ("n_lists", "max", "min", "mean")}
+
+    # --- recall@10 on the replicated corpus ---
+    qids = [int(big.agg(F.min("vec_id")).first()[0]) + i * 97
+            for i in range(8)]
+    t0 = time.time()
+    rec = {r["method"]: int(r["recall_pct"])
+           for r in ann.ann_recall(big, qids, 10).collect()}
+    out["recall_pct"] = rec
+    out["recall_sec"] = round(time.time() - t0, 2)
+
+    md = [
+        "# ANN — scale evidence",
+        "",
+        f"Corpus: `{sf_dir}` embeddings × {repl} jittered replicas = "
+        f"{n:,} vectors (replicas are near-neighbors — the hard bucketing "
+        "case).",
+        "",
+        "| path | structure | max | p99/min | mean | note |",
+        "|---|---|---|---|---|---|",
+        (f"| LSH ({out['lsh']['planes']} planes, auto-scaled) "
+         f"| {out['lsh']['n_buckets']:,.0f} buckets "
+         f"| {out['lsh']['max']:,.0f} | p99 {out['lsh']['p99']:,.0f} "
+         f"| {out['lsh']['mean']:.0f} "
+         f"| target ~{out['lsh']['target']}/bucket |"),
+        (f"| IVF ({out['ivf']['n_lists']:.0f} k-means lists) "
+         f"| {out['ivf']['n_lists']:.0f} lists | {out['ivf']['max']:,.0f} "
+         f"| min {out['ivf']['min']:,.0f} | {out['ivf']['mean']:,.0f} "
+         f"| trained in {out['ivf_train_sec']} s |"),
+        "",
+        f"Recall@10 vs exact brute force over 8 probe queries: "
+        f"LSH {rec.get('lsh')}%, IVF {rec.get('ivf')}% "
+        f"({out['recall_sec']} s).",
+        "",
+        f"Raw: `{json.dumps(out)}`",
+    ]
+    path = os.path.join(REPO, "BENCH", "ANN.md")
+    with open(path, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps(out))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
