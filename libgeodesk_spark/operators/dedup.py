@@ -319,19 +319,26 @@ def minhash_lsh_pairs(df: DataFrame, threshold_pct: int = 60,
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    # exact verify via the shingle inverted index restricted to candidates
+    # exact verify: attach each side's (distinct) shingle set as an array
+    # and intersect JVM-side — the row count stays at |candidates|. The
+    # inverted-index formulation (join candidates x per-shingle postings)
+    # explodes to |candidates| x shingles/doc intermediate rows (measured:
+    # 2.2M candidates x ~300 shingles = 660M-row shuffle at an 80k-doc
+    # corpus); the array form moves the same bytes once, attached to keys.
     sh = shingles(df, col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a2 = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh"))
-    b2 = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh"))
-    common = (cand.join(a2, "id_a").join(b2, ["id_b", "sh"])
-              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    j = common.join(sa, "id_a").join(sb, "id_b")
-    union = F.col("sz_a") + F.col("sz_b") - F.col("common")
+    sh_arr = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
+    a2 = sh_arr.select(F.col(id_col).alias("id_a"),
+                       F.col("shs").alias("shs_a"))
+    b2 = sh_arr.select(F.col(id_col).alias("id_b"),
+                       F.col("shs").alias("shs_b"))
+    j = cand.join(a2, "id_a").join(b2, "id_b")
+    common = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    j = j.select("id_a", "id_b", common.alias("common"),
+                 (F.size("shs_a") + F.size("shs_b")).cast("long").alias("_t"))
+    union = F.col("_t") - F.col("common")
     return (j.filter(F.col("common") * 100 >= F.lit(threshold_pct) * union)
-            .select("id_a", "id_b", "common", union.cast("long").alias("union_sz")))
+            .select("id_a", "id_b", "common",
+                    union.cast("long").alias("union_sz")))
 
 
 def minhash_lsh_pairs_sql(threshold_pct: int = 60, table="documents",
