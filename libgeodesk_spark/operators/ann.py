@@ -121,6 +121,79 @@ def ivf_centroids(emb: DataFrame, n_lists: int = IVF_LISTS,
     return cents
 
 
+def auto_lists(n_vectors: int) -> int:
+    """Corpus-scaled list count: ~sqrt(N) (the standard IVF sizing),
+    clamped to [IVF_LISTS, 4096]. A FIXED 16 lists is a scale-killer —
+    at 1e9 vectors each list holds 62M vectors and nprobe scans are
+    effectively brute force."""
+    import math
+    return max(IVF_LISTS, min(4096, int(round(math.sqrt(max(n_vectors, 1))))))
+
+
+def ivf_centroids_distributed(emb: DataFrame, n_lists: int,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              iters: int = IVF_TRAIN_ITERS) -> np.ndarray:
+    """Distributed Lloyd k-means: the scale-path trainer (the sample
+    trainer caps n_lists at what one driver can k-means; sqrt(1e9)≈32k
+    lists needs cluster-side training).
+
+    Each iteration is ONE pass: broadcast centroids → per-batch numpy
+    argmin + per-list partial (count, component-sums) → tiny shuffle of
+    (list, dim) partials → new centroids on the driver. Deterministic:
+    init = lowest-id n_lists vectors, ties break to the lower list id.
+    Empty lists keep their previous centroid."""
+    from pyspark.sql import types as T
+    rows = emb.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    cents = np.array([r[0] for r in rows], dtype=np.float64)
+    n_lists = len(cents)
+    dim = cents.shape[1]
+    spark = emb.sparkSession
+    schema = T.StructType([
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
+    ])
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            import pandas as pd
+            c = bc.value
+            cc = (c * c).sum(axis=1)[None, :]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                assign = ((-2.0 * v @ c.T) + cc).argmin(axis=1)
+                out_ids, out_cnt, out_sums = [], [], []
+                for lid in np.unique(assign):
+                    sel = v[assign == lid]
+                    out_ids.append(int(lid))
+                    out_cnt.append(len(sel))
+                    out_sums.append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame({"list_id": out_ids, "cnt": out_cnt,
+                                    "sums": out_sums})
+
+        agg = (emb.select(vec_col).mapInPandas(partials, schema=schema)
+               .select("list_id", "cnt",
+                       F.posexplode("sums").alias("dim", "s"))
+               .groupBy("list_id", "dim")
+               .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
+               .collect())
+        new = cents.copy()
+        counts = np.zeros(n_lists)
+        sums = np.zeros((n_lists, dim))
+        for r in agg:
+            sums[r["list_id"], r["dim"]] = r["s"]
+            counts[r["list_id"]] = r["cnt"]  # replicated per dim; same value
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cents = new
+        bc.destroy()
+    return cents
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                vec_col: str = "embedding") -> DataFrame:
     """Tag each vector with its nearest-centroid list id — one Arrow pass,
@@ -150,12 +223,19 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
              n_lists: int = IVF_LISTS, nprobe: int = IVF_NPROBE,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: "np.ndarray | None" = None) -> DataFrame:
     """IVF search: exact quantized-L2 rank within the query's nprobe
     nearest lists. The assignment is one shuffle-free pass; at scale the
     assigned table is written list-partitioned so probes prune partitions
-    (same storage trick as the cell layout)."""
-    cents = ivf_centroids(emb, n_lists, id_col, vec_col)
+    (same storage trick as the cell layout).
+
+    ``centroids``: pass a pre-trained quantizer (e.g. from
+    :func:`ivf_centroids_distributed` with ``n_lists=auto_lists(N)``) —
+    the at-scale shape, where the quantizer is trained once cluster-side
+    and stored with the list-partitioned layout."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(emb, n_lists, id_col, vec_col))
     tagged = ivf_assign(emb, cents, vec_col)
 
     q = tagged.filter(F.col(id_col).isin(query_ids)) \

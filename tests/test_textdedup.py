@@ -125,3 +125,44 @@ class TestAnn:
         assert len(pdf) == 5
         assert (pdf.cos <= 1.0 + 1e-9).all()
         assert pdf["rank"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_distributed_trainer_matches_full_data_lloyd(self, emb):
+        """ivf_centroids_distributed over the whole table must agree with
+        a single-process numpy Lloyd on the same data, same init, same
+        tie-break — the distributed partial-sum reduction only changes
+        float summation order (hence allclose, not equality)."""
+        import numpy as np
+        from libgeodesk_spark.operators.ann import ivf_centroids_distributed
+        pdf = emb.orderBy("vec_id").toPandas()
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        n_lists, iters = 8, 4
+        ref = x[:n_lists].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for j in range(n_lists):
+                sel = x[assign == j]
+                if len(sel):
+                    ref[j] = sel.mean(axis=0)
+        got = ivf_centroids_distributed(emb, n_lists, iters=iters)
+        assert got.shape == ref.shape
+        assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    def test_ivf_with_distributed_centroids(self, emb):
+        from libgeodesk_spark.operators.ann import (
+            auto_lists, brute_topk, ivf_centroids_distributed, ivf_topk)
+        n = emb.count()
+        cents = ivf_centroids_distributed(emb, auto_lists(n), iters=3)
+        exact = brute_topk(emb, self.QIDS, 5).toPandas()
+        approx = ivf_topk(emb, self.QIDS, 5, nprobe=8,
+                          centroids=cents).toPandas()
+        e = set(map(tuple, exact[["qid", "vec_id"]].values.tolist()))
+        a = set(map(tuple, approx[["qid", "vec_id"]].values.tolist()))
+        assert len(a) == len(e)
+        assert len(e & a) >= len(e) * 0.3
+
+    def test_auto_lists_sizing(self):
+        from libgeodesk_spark.operators.ann import auto_lists
+        assert auto_lists(100) == 16          # floor
+        assert auto_lists(1_000_000) == 1000  # sqrt(N)
+        assert auto_lists(10**9) == 4096      # cap
