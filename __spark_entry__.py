@@ -324,6 +324,23 @@ def _q_distance_to_zone(spark, sf_dir):
     return distance_to_zone(_points(spark, sf_dir), _zone("convex"))
 
 
+def _q_phash_near_dups(spark, sf_dir):
+    """Visual near-dup pairs by 64-bit perceptual hash (input_hint column
+    ``phash``): plant a deterministic twin (one flipped bit) for every
+    50th image, then find all pairs within hamming<=3 via the 4x16-bit
+    banded self-join — the image-payload dedup primitive. Base phashes
+    are LCG-random, so the exact pair set is the planted twins (both
+    engines compute it identically)."""
+    from libgeodesk_spark.operators.dedup import phash_near_dups
+    pts = _points(spark, sf_dir).select("image_id", "pid", "phash")
+    twins = pts.filter(F.col("pid") % 50 == 0).select(
+        F.concat(F.col("image_id"), F.lit("_t")).alias("image_id"),
+        F.expr("phash ^ shiftleft(CAST(1 AS BIGINT), "
+               "CAST(pid % 8 AS INT))").alias("phash"))
+    imgs = pts.select("image_id", "phash").unionByName(twins)
+    return phash_near_dups(imgs)
+
+
 def _q_user_sessions(spark, sf_dir):
     """Window-function coverage: per-user session counts with a 30-minute
     gap rule over the events stream table (lag + conditional cumsum)."""
@@ -621,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "cell_ring": _q_cell_ring,
         "emb_near_dup": _q_emb_near_dup,
+        "phash_near_dups": _q_phash_near_dups,
         "distance_to_zone": _q_distance_to_zone,
         "user_sessions": _q_user_sessions,
         "knn_batch": _q_knn_batch,
@@ -888,6 +906,15 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                     x -> ({dexpr}) * ({dexpr}))) AS BIGINT) <= {EMB_NEAR_D2}"""
+    from libgeodesk_spark.operators.dedup import phash_near_dups_sql
+    out["phash_near_dups"] = f"""{pc},
+        imgs AS (
+          SELECT image_id, phash FROM pts
+          UNION ALL
+          SELECT image_id || '_t' AS image_id,
+                 xor(phash, CAST(1 AS BIGINT) << CAST(pid % 8 AS INT)) AS phash
+          FROM pts WHERE pid % 50 = 0),
+        {phash_near_dups_sql('imgs')}"""
     out["members_of"] = f"""
         SELECT DISTINCT l_orderkey AS rel_id,
                l_orderkey * 8 + l_linenumber AS member_id,

@@ -92,6 +92,31 @@ class TestDedup:
         )
         assert_same(ngram_jaccard_pairs(docs, 50), con, ngram_jaccard_pairs_sql(50))
 
+    def test_phash_near_dups(self, spark):
+        """Planted hamming-1/2/3 twins are all found (pigeonhole: radius 3
+        < 4 bands); a hamming-4 pair and far pairs are not."""
+        from libgeodesk_spark.operators.dedup import phash_near_dups
+        base = 0x123456789ABCDEF0
+        rows = [
+            ("a", base),
+            ("b", base ^ 0x1),                      # hamming 1
+            ("c", base ^ 0b101),                    # hamming 2 (same band)
+            ("d", base ^ (1 | (1 << 20) | (1 << 40))),  # hamming 3, 3 bands
+            ("e", base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))),  # ham 4
+            ("f", 0x0F0F0F0F0F0F0F0F),              # far
+        ]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        got = {(r.id_a, r.id_b, r.hamming)
+               for r in phash_near_dups(df).collect()}
+        assert ("a", "b", 1) in got
+        assert ("a", "c", 2) in got
+        assert ("a", "d", 3) in got
+        assert not any({p[0], p[1]} >= {"a", "e"} for p in got)
+        assert not any("f" in (p[0], p[1]) for p in got)
+        # b vs c: differ in bits {0(no: b flips 0, c flips 0 and 2)} ->
+        # xor = 0b100, hamming 1 — also a valid near-dup pair
+        assert ("b", "c", 1) in got
+
 
 class TestAnn:
     QIDS = [0, 1, 2, 3, 4]
