@@ -47,6 +47,9 @@ RADIUS_Q = (91_000_000, 645_000_000)
 RADIUS_SQ = 500_000 ** 2
 BBOX = (90_000_000, 642_000_000, 94_000_000, 646_000_000)
 HOT_THRESHOLD = 50                        # cells with ≥50 points (hot + none)
+# snapshot_scan: a cell_id band covering the middle rows of the window
+# (zoom-12 cell ids are (12<<24) + row*4096 + col; rows ~1429..1437 here)
+SNAP_CELL_RANGE = ((12 << 24) + 1430 * 4096, (12 << 24) + 1433 * 4096 + 4095)
 
 #: contains_point probes: tooth interior, notch, on the tooth wall,
 #: outside the window, exactly on a ring vertex
@@ -339,6 +342,27 @@ def _q_phash_near_dups(spark, sf_dir):
                "CAST(pid % 8 AS INT))").alias("phash"))
     imgs = pts.select("image_id", "phash").unionByName(twins)
     return phash_near_dups(imgs)
+
+
+def _q_snapshot_scan(spark, sf_dir):
+    """Snapshot-table semantics end-to-end (the Iceberg-analog,
+    sources/catalog.py): commit even-pid points as snapshot 1, append
+    odd-pid points as snapshot 2, then MANIFEST-PRUNED time-travel scan
+    of snapshot 1 over a cell_id range. Correct iff (a) snapshot 1 never
+    sees the second commit, (b) file pruning loses no rows, (c) the
+    residual filter is exact — the oracle is a plain WHERE over pts."""
+    import tempfile
+
+    from libgeodesk_spark.sources.catalog import SnapshotTable
+    pts = _points(spark, sf_dir).select("image_id", "pid", "cell_id")
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="spark_graft_snap_") + "/t",
+                        stat_cols=("cell_id",))
+    tbl.commit(pts.filter(F.col("pid") % 2 == 0)
+               .repartitionByRange(8, "cell_id"))
+    tbl.commit(pts.filter(F.col("pid") % 2 != 0))
+    lo, hi = SNAP_CELL_RANGE
+    df, _plan = tbl.planned_scan(spark, {"cell_id": (lo, hi)}, snapshot_id=1)
+    return df.select("image_id", "pid", "cell_id")
 
 
 def _q_user_sessions(spark, sf_dir):
@@ -642,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_to_zone": _q_distance_to_zone,
         "user_sessions": _q_user_sessions,
         "knn_batch": _q_knn_batch,
+        "snapshot_scan": _q_snapshot_scan,
     }
 
 
@@ -906,6 +931,10 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                     x -> ({dexpr}) * ({dexpr}))) AS BIGINT) <= {EMB_NEAR_D2}"""
+    out["snapshot_scan"] = f"""{pc}
+        SELECT image_id, pid, cell_id FROM pts
+        WHERE pid % 2 = 0
+          AND cell_id BETWEEN {SNAP_CELL_RANGE[0]} AND {SNAP_CELL_RANGE[1]}"""
     from libgeodesk_spark.operators.dedup import phash_near_dups_sql
     out["phash_near_dups"] = f"""{pc},
         imgs AS (

@@ -1,0 +1,200 @@
+"""Snapshot/manifest table format — the Iceberg-semantics analog.
+
+The north rule targets Iceberg tables; the sandbox has no Iceberg runtime,
+so this module implements the three Iceberg behaviors the engine relies
+on, on plain parquet + JSON, with the same guarantees:
+
+1. **Atomic snapshot commits + time travel** — a commit writes data files
+   into an immutable staging dir, a ``manifest-<v>.json`` listing them,
+   then publishes ``snap-<v>.json`` with ``open(..., 'x')`` (exclusive
+   create = the compare-and-swap of Iceberg's HadoopCatalog version-hint
+   rename). Readers resolve the highest published snapshot (or any pinned
+   ``snapshot_id``) and see either all of a commit or none of it; a crash
+   before publish leaves dead files but a consistent table.
+2. **Manifest-level file pruning** — each manifest row carries per-file
+   row counts and min/max stats for the configured ``stat_cols``
+   (collected DISTRIBUTED, one Spark pass over the new files grouped by
+   ``input_file_name``; Iceberg collects the same stats task-side at
+   write time). ``planned_scan`` intersects a predicate range against the
+   manifest and opens only surviving files — at 100 TB / millions of
+   files this prunes BEFORE any parquet footer is touched, which is the
+   difference between a driver-side directory walk and a real query plan
+   (reference analog: the tile-index walk prunes tiles before any tile
+   page is mapped, src/query/TileIndexWalker.cpp:55-189).
+3. **Optimistic concurrency** — two writers committing from the same base
+   version race on the exclusive create; the loser gets
+   ``CommitConflict`` and must retry on the new base (Iceberg's
+   behavior).
+
+Layout::
+
+    table/
+      data/<commit-uuid>/part-*.parquet   (immutable once published)
+      manifest-<v>.json                   (file list + stats of snapshot v)
+      snap-<v>.json                       (snapshot pointer, created with 'x')
+
+Scale notes: manifests here are one JSON per snapshot, fine to ~10^5
+files; Iceberg splits manifests per partition subtree and this module's
+``planned_scan`` contract (files-in → files-pruned-out) is unchanged by
+that split. The stats pass reads only the newly written files once.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(Exception):
+    """Another writer published this snapshot version first — retry."""
+
+
+class SnapshotTable:
+    def __init__(self, path: str, stat_cols: tuple[str, ...] = ()):
+        self.path = path
+        self.stat_cols = tuple(stat_cols)
+        os.makedirs(path, exist_ok=True)
+
+    # -- snapshot resolution --------------------------------------------------
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.path, f"snap-{version}.json")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, f"manifest-{version}.json")
+
+    def current_version(self) -> int:
+        """Highest PUBLISHED snapshot (0 = empty table)."""
+        best = 0
+        for p in glob.glob(os.path.join(self.path, "snap-*.json")):
+            try:
+                best = max(best, int(os.path.basename(p)[5:-5]))
+            except ValueError:
+                continue
+        return best
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        v = self.current_version() if snapshot_id is None else snapshot_id
+        if v == 0:
+            return {"version": 0, "files": []}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    # -- commit ----------------------------------------------------------------
+
+    def _collect_stats(self, spark: SparkSession, files: list[str]) -> list[dict]:
+        """One distributed pass over the new files: per-file row count +
+        min/max of stat_cols, grouped by input_file_name (Iceberg writes
+        the same stats from the writing task; the contract — stats ride
+        in the manifest, not in parquet footers — is identical)."""
+        df = spark.read.parquet(*files)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in self.stat_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        rows = (df.groupBy(F.input_file_name().alias("_file"))
+                .agg(*aggs).collect())
+        out = []
+        for r in rows:
+            ent = {"path": r["_file"].removeprefix("file://"),
+                   "rows": r["_rows"],
+                   "stats": {c: [r[f"_min_{c}"], r[f"_max_{c}"]]
+                             for c in self.stat_cols}}
+            out.append(ent)
+        return out
+
+    def commit(self, df: DataFrame, mode: str = "append",
+               expected_base: int | None = None) -> int:
+        """Publish ``df`` as the next snapshot; returns its version.
+
+        ``mode='append'`` keeps prior files; ``'overwrite'`` replaces the
+        file list (old files stay on disk for time travel — Iceberg
+        semantics; vacuuming expired snapshots is a separate concern).
+        ``expected_base`` pins the optimistic-concurrency base version
+        (defaults to the version observed now)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(mode)
+        spark = df.sparkSession
+        base = self.current_version() if expected_base is None else expected_base
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.path, "data", commit_id)
+        df.write.mode("error").parquet(data_dir)
+        new_files = [p for p in glob.glob(os.path.join(data_dir, "*.parquet"))]
+        entries = self._collect_stats(spark, new_files) if new_files else []
+        prior = self.manifest(base)["files"] if mode == "append" else []
+        version = base + 1
+        manifest = {"version": version, "base": base, "mode": mode,
+                    "commit_id": commit_id, "files": prior + entries}
+        with open(self._manifest_path(version) + f".{commit_id}", "w") as f:
+            json.dump(manifest, f)
+        os.replace(self._manifest_path(version) + f".{commit_id}",
+                   self._manifest_path(version))
+        # CAS publish: exclusive create loses to any concurrent winner
+        try:
+            with open(self._snap_path(version), "x") as f:
+                json.dump({"version": version, "commit_id": commit_id}, f)
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {version} already published; retry from "
+                f"{self.current_version()}") from None
+        # verify our manifest is the published one (a conflicting writer
+        # could have renamed its manifest between our replace and create)
+        if json.load(open(self._manifest_path(version)))["commit_id"] \
+                != commit_id:
+            raise CommitConflict(f"manifest {version} overwritten; retry")
+        return version
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame:
+        """Full scan of a snapshot (time travel via ``snapshot_id``)."""
+        files = [e["path"] for e in self.manifest(snapshot_id)["files"]]
+        if not files:
+            raise ValueError("empty table (version 0)")
+        return spark.read.parquet(*files)
+
+    def planned_scan(self, spark: SparkSession,
+                     ranges: dict[str, tuple], snapshot_id: int | None = None,
+                     ) -> tuple[DataFrame, dict]:
+        """Manifest-pruned scan: open only files whose [min,max] stats
+        overlap every ``ranges[col] = (lo, hi)`` (closed intervals; a file
+        with null stats for a col is kept — prune must be conservative).
+        Returns (df, plan) where plan reports files kept/pruned — the
+        evidence surface for 'the scan never opened pruned files'.
+
+        The returned df still carries the residual predicate: manifest
+        pruning is file-granular, rows inside kept files must re-filter
+        (same two-level accept as the reference's tile walk + in-tile
+        matcher)."""
+        man = self.manifest(snapshot_id)
+        kept, pruned = [], 0
+        for e in man["files"]:
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                st = e.get("stats", {}).get(c)
+                if st is None or st[0] is None:
+                    continue
+                if st[1] < lo or st[0] > hi:
+                    ok = False
+                    break
+            if ok:
+                kept.append(e["path"])
+            else:
+                pruned += 1
+        plan = {"version": man["version"], "files_kept": len(kept),
+                "files_pruned": pruned}
+        if not kept:
+            # empty result with the snapshot's schema
+            df = self.read(spark, snapshot_id).limit(0)
+        else:
+            df = spark.read.parquet(*kept)
+        cond = None
+        for c, (lo, hi) in ranges.items():
+            term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+            cond = term if cond is None else cond & term
+        return (df.filter(cond) if cond is not None else df), plan

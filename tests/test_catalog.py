@@ -1,0 +1,97 @@
+"""Snapshot/manifest table format: atomicity, time travel, manifest
+pruning, optimistic concurrency (sources/catalog.py)."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from libgeodesk_spark.sources.catalog import CommitConflict, SnapshotTable
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return SnapshotTable(str(tmp_path / "t"), stat_cols=("cell_id",))
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("pid"), (F.col("id") * 7 % 100).alias("cell_id"))
+
+
+class TestSnapshotTable:
+    def test_append_and_time_travel(self, spark, tbl):
+        v1 = tbl.commit(_mk(spark, 0, 100))
+        v2 = tbl.commit(_mk(spark, 100, 150))
+        assert (v1, v2) == (1, 2)
+        assert tbl.read(spark, snapshot_id=1).count() == 100
+        assert tbl.read(spark, snapshot_id=2).count() == 150
+        assert tbl.read(spark).count() == 150          # current = v2
+
+    def test_overwrite_keeps_history(self, spark, tbl):
+        tbl.commit(_mk(spark, 0, 100))
+        tbl.commit(_mk(spark, 0, 10), mode="overwrite")
+        assert tbl.read(spark).count() == 10
+        assert tbl.read(spark, snapshot_id=1).count() == 100
+
+    def test_manifest_pruning_skips_files(self, spark, tbl):
+        # 4 files with disjoint cell_id ranges -> a narrow range keeps 1
+        for lo in (0, 100, 200, 300):
+            df = spark.range(lo, lo + 100).select(
+                F.col("id").alias("pid"), F.col("id").alias("cell_id")) \
+                .coalesce(1)
+            tbl.commit(df)
+        df, plan = tbl.planned_scan(spark, {"cell_id": (150, 160)})
+        assert plan["files_kept"] == 1 and plan["files_pruned"] == 3
+        got = sorted(r.cell_id for r in df.collect())
+        assert got == list(range(150, 161))   # residual filter applied
+
+    def test_pruning_is_conservative_and_exact(self, spark, tbl):
+        import random
+        rnd = random.Random(7)
+        rows = [(i, rnd.randrange(1000)) for i in range(500)]
+        df = spark.createDataFrame(rows, "pid long, cell_id long") \
+            .repartition(8)
+        tbl.commit(df)
+        full = {(r.pid, r.cell_id)
+                for r in tbl.read(spark)
+                .filter("cell_id between 200 and 400").collect()}
+        pruned, plan = tbl.planned_scan(spark, {"cell_id": (200, 400)})
+        assert {(r.pid, r.cell_id) for r in pruned.collect()} == full
+        assert plan["files_kept"] + plan["files_pruned"] == 8
+
+    def test_crash_before_publish_is_invisible(self, spark, tbl):
+        tbl.commit(_mk(spark, 0, 50))
+        # simulate a crash: data + manifest written, snap pointer never
+        # created (kill between os.replace and open('x'))
+        data_dir = os.path.join(tbl.path, "data", "deadbeef")
+        _mk(spark, 50, 99).write.parquet(data_dir)
+        json.dump({"version": 2, "base": 1, "commit_id": "deadbeef",
+                   "files": [{"path": p, "rows": 0, "stats": {}} for p in
+                             glob.glob(data_dir + "/*.parquet")]},
+                  open(os.path.join(tbl.path, "manifest-2.json"), "w"))
+        assert tbl.current_version() == 1
+        assert tbl.read(spark).count() == 50
+        # next real commit supersedes the orphan manifest
+        v = tbl.commit(_mk(spark, 100, 110))
+        assert v == 2
+        assert tbl.read(spark).count() == 60
+
+    def test_concurrent_commit_conflict(self, spark, tbl):
+        tbl.commit(_mk(spark, 0, 10))
+        base = tbl.current_version()
+        tbl.commit(_mk(spark, 10, 20), expected_base=base)   # winner
+        with pytest.raises(CommitConflict):
+            tbl.commit(_mk(spark, 20, 30), expected_base=base)  # loser
+        # retry from the new base succeeds and sees the winner's rows
+        tbl.commit(_mk(spark, 20, 30))
+        assert tbl.read(spark).count() == 30
+
+    def test_stats_cover_min_max(self, spark, tbl):
+        tbl.commit(_mk(spark, 0, 100).coalesce(1))
+        ent = tbl.manifest()["files"][0]
+        assert ent["rows"] == 100
+        lo, hi = ent["stats"]["cell_id"]
+        assert lo == 0 and hi == 99   # id*7%100 over 0..99: id=57 -> 99
