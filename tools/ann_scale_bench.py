@@ -71,6 +71,18 @@ def main():
         F.min("count").alias("min"), F.avg("count").alias("mean")).collect()[0]
     out["ivf"] = {k: float(row[k]) for k in ("n_lists", "max", "min", "mean")}
 
+    # --- distributed trainer at corpus-scaled list count ---
+    t0 = time.time()
+    n_lists = ann.auto_lists(n)
+    dcents = ann.ivf_centroids_distributed(big, n_lists, iters=5)
+    out["ivf_dist_train_sec"] = round(time.time() - t0, 2)
+    row = ann.ivf_assign(big, dcents).groupBy("list_id").count().agg(
+        F.count("*").alias("n_lists"), F.max("count").alias("max"),
+        F.min("count").alias("min"), F.avg("count").alias("mean")).collect()[0]
+    out["ivf_dist"] = {k: float(row[k]) for k in ("n_lists", "max",
+                                                  "min", "mean")}
+    out["ivf_dist"]["trained_lists"] = n_lists
+
     # --- recall@10 on the replicated corpus ---
     qids = [int(big.agg(F.min("vec_id")).first()[0]) + i * 97
             for i in range(8)]
@@ -79,6 +91,19 @@ def main():
            for r in ann.ann_recall(big, qids, 10).collect()}
     out["recall_pct"] = rec
     out["recall_sec"] = round(time.time() - t0, 2)
+
+    # dist-trained IVF recall (nprobe scaled to ~1/8 of the lists)
+    t0 = time.time()
+    exact = {(r["qid"], r["vec_id"])
+             for r in ann.brute_topk(big, qids, 10).collect()}
+    nprobe = max(8, n_lists // 8)
+    got = {(r["qid"], r["vec_id"])
+           for r in ann.ivf_topk(big, qids, 10, nprobe=nprobe,
+                                 centroids=dcents).collect()}
+    rec["ivf_dist"] = int(round(100.0 * len(got & exact)
+                                / max(len(exact), 1)))
+    out["ivf_dist"]["nprobe"] = nprobe
+    out["ivf_dist_recall_sec"] = round(time.time() - t0, 2)
 
     md = [
         "# ANN — scale evidence",
@@ -98,10 +123,19 @@ def main():
          f"| {out['ivf']['n_lists']:.0f} lists | {out['ivf']['max']:,.0f} "
          f"| min {out['ivf']['min']:,.0f} | {out['ivf']['mean']:,.0f} "
          f"| trained in {out['ivf_train_sec']} s |"),
+        (f"| IVF-dist ({out['ivf_dist']['trained_lists']} auto_lists, "
+         f"distributed Lloyd) "
+         f"| {out['ivf_dist']['n_lists']:.0f} lists "
+         f"| {out['ivf_dist']['max']:,.0f} "
+         f"| min {out['ivf_dist']['min']:,.0f} "
+         f"| {out['ivf_dist']['mean']:,.0f} "
+         f"| trained in {out['ivf_dist_train_sec']} s |"),
         "",
         f"Recall@10 vs exact brute force over 8 probe queries: "
         f"LSH {rec.get('lsh')}%, IVF {rec.get('ivf')}% "
-        f"({out['recall_sec']} s).",
+        f"({out['recall_sec']} s); distributed-trained IVF "
+        f"(nprobe {out['ivf_dist']['nprobe']}) {rec.get('ivf_dist')}% "
+        f"({out['ivf_dist_recall_sec']} s).",
         "",
         f"Raw: `{json.dumps(out)}`",
     ]
