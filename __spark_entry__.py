@@ -50,6 +50,8 @@ HOT_THRESHOLD = 50                        # cells with ≥50 points (hot + none)
 # snapshot_scan: a cell_id band covering the middle rows of the window
 # (zoom-12 cell ids are (12<<24) + row*4096 + col; rows ~1429..1437 here)
 SNAP_CELL_RANGE = ((12 << 24) + 1430 * 4096, (12 << 24) + 1433 * 4096 + 4095)
+# stream_window_counts: fixed event-time base (2026-01-01 12:00:00 UTC)
+WM_BASE_EPOCH = 1767268800
 
 #: contains_point probes: tooth interior, notch, on the tooth wall,
 #: outside the window, exactly on a ring vertex
@@ -342,6 +344,56 @@ def _q_phash_near_dups(spark, sf_dir):
                "CAST(pid % 8 AS INT))").alias("phash"))
     imgs = pts.select("image_id", "phash").unionByName(twins)
     return phash_near_dups(imgs)
+
+
+def _q_stream_window_counts(spark, sf_dir):
+    """Event-time windowed counts with WATERMARK late-data drop, driven as
+    two availableNow epochs through one checkpoint (append mode — only
+    closed windows emit, exactly once).
+
+    Deterministic timeline (seconds after a fixed base): epoch 1 = even
+    pids at s = pid%120 (windows w0 [0,60) and w1 [60,120)); its max
+    event s=118 advances the checkpointed watermark to 88, closing and
+    EMITTING w0. Spark's aggregation lateness is WINDOW-granular (a row
+    is dropped iff its window can no longer accept data: window.end <=
+    watermark — verified against StreamingQueryProgress
+    numRowsDroppedByWatermark), so epoch 2 = odd pids at s = pid%180
+    splits three ways: s<60 targets the closed w0 and is DROPPED
+    (observable: w0 never re-emits, no odd-cell w0 rows exist), s in
+    [60,120) joins the still-open w1 (behind the watermark but the
+    window isn't closed — accepted), s>=120 stays in the never-emitted
+    w2. Epoch 2's max s=179 moves the watermark to 149, closing w1.
+    No boundary ties: window ends are 60/120/180 vs watermarks 88/149.
+    Oracle = the same arithmetic as one SQL aggregate."""
+    import tempfile
+
+    from libgeodesk_spark.streaming.ingest import stream_cell_counts
+    base = tempfile.mkdtemp(prefix="spark_graft_wm_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    pts = _points(spark, sf_dir).select("pid")
+    s = F.when(F.col("pid") % 2 == 0, F.col("pid") % 120) \
+         .otherwise(F.col("pid") % 180)
+    ev = pts.select(
+        "pid",
+        F.timestamp_seconds(F.lit(WM_BASE_EPOCH) + s).alias("ts"),
+        ((F.col("pid") % 4) * F.lit(1 << 20) + F.lit(10)).alias("x"),
+        F.lit(10).alias("y"))
+
+    def epoch(df, sub):
+        df.write.parquet(f"{src}/{sub}")
+        counts = stream_cell_counts(spark, src + "/*",
+                                    "pid long, ts timestamp, x long, y long",
+                                    watermark="30 seconds")
+        q = (counts.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    epoch(ev.filter(F.col("pid") % 2 == 0), "b1")
+    epoch(ev.filter(F.col("pid") % 2 != 0), "b2")
+    return spark.read.parquet(out).select(
+        (F.col("window.start").cast("long") - WM_BASE_EPOCH).alias("start_s"),
+        "cell_id", F.col("n").cast("long").alias("n"))
 
 
 def _q_snapshot_scan(spark, sf_dir):
@@ -667,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "knn_batch": _q_knn_batch,
         "snapshot_scan": _q_snapshot_scan,
+        "stream_window_counts": _q_stream_window_counts,
     }
 
 
@@ -931,6 +984,22 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                     x -> ({dexpr}) * ({dexpr}))) AS BIGINT) <= {EMB_NEAR_D2}"""
+    # watermark mirror (window-granular lateness): epoch-2 rows are kept
+    # iff their window was still open at the epoch-1 watermark 88, i.e.
+    # window end = (s//60)*60+60 > 88 <=> s >= 60; emitted windows = end
+    # <= final watermark 149 (w0, w1); zoom-12 cell for
+    # x=(pid%4)*2^20+10, y=10 is 209713152 + pid%4
+    out["stream_window_counts"] = f"""{pc},
+        ev AS (SELECT pid, pid % 4 AS g,
+                      CASE WHEN pid % 2 = 0 THEN pid % 120
+                           ELSE pid % 180 END AS s
+               FROM pts),
+        kept AS (SELECT * FROM ev WHERE pid % 2 = 0 OR s >= 60)
+        SELECT CAST((s // 60) * 60 AS BIGINT) AS start_s,
+               CAST(209713152 + g AS BIGINT) AS cell_id,
+               COUNT(*) AS n
+        FROM kept WHERE (s // 60) * 60 + 60 <= 149
+        GROUP BY 1, 2"""
     out["snapshot_scan"] = f"""{pc}
         SELECT image_id, pid, cell_id FROM pts
         WHERE pid % 2 = 0
