@@ -346,6 +346,16 @@ def _q_phash_near_dups(spark, sf_dir):
     return phash_near_dups(imgs)
 
 
+def _q_clean_corpus(spark, sf_dir):
+    """The composed training-data pipeline (operators/pipeline.py):
+    quality gate -> exact dedup keep-first -> embedding attach, one
+    Catalyst plan, oracle-mirrored end to end."""
+    from libgeodesk_spark.operators.pipeline import clean_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return clean_corpus(docs, emb)
+
+
 def _q_stream_window_counts(spark, sf_dir):
     """Event-time windowed counts with WATERMARK late-data drop, driven as
     two availableNow epochs through one checkpoint (append mode — only
@@ -720,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _q_knn_batch,
         "snapshot_scan": _q_snapshot_scan,
         "stream_window_counts": _q_stream_window_counts,
+        "clean_corpus": _q_clean_corpus,
     }
 
 
@@ -1000,6 +1011,8 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n
         FROM kept WHERE (s // 60) * 60 + 60 <= 149
         GROUP BY 1, 2"""
+    from libgeodesk_spark.operators.pipeline import clean_corpus_sql
+    out["clean_corpus"] = clean_corpus_sql()
     out["snapshot_scan"] = f"""{pc}
         SELECT image_id, pid, cell_id FROM pts
         WHERE pid % 2 = 0

@@ -191,3 +191,22 @@ class TestAnn:
         assert auto_lists(100) == 16          # floor
         assert auto_lists(1_000_000) == 1000  # sqrt(N)
         assert auto_lists(10**9) == 4096      # cap
+
+
+class TestPipeline:
+    def test_clean_corpus(self, docs, emb, con):
+        from libgeodesk_spark.operators.pipeline import (
+            clean_corpus, clean_corpus_sql)
+        assert_same(clean_corpus(docs, emb), con, clean_corpus_sql())
+
+    def test_clean_corpus_dedup_keeps_first(self, spark):
+        from libgeodesk_spark.operators.pipeline import clean_corpus
+        text = "the quick brown fox jumps over the lazy dog " * 5
+        docs = spark.createDataFrame(
+            [(0, text), (1, text), (2, text + "unique tail")],
+            "doc_id long, text string")
+        emb = spark.createDataFrame(
+            [(i, [0.5] * 4) for i in range(3)],
+            "vec_id long, embedding array<float>")
+        got = sorted(r.doc_id for r in clean_corpus(docs, emb).collect())
+        assert got == [0, 2]   # doc 1 is an exact dup of doc 0
