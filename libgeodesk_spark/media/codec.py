@@ -55,23 +55,32 @@ def _gradient(w: int, h: int) -> np.ndarray:
 def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     """Deterministic procedural image: gradient + seeded noise (FIXTURES.md).
     The gradient base depends only on (w, h) and is cached per worker —
-    the seeded noise carries all the per-image variation."""
+    the seeded noise carries all the per-image variation.
+
+    In-place add/clip into the noise buffer: the codec path is
+    memory-bandwidth-bound at full thread count (BENCH/BASELINE.md
+    hardware controls), so every avoided intermediate array is direct
+    throughput."""
     rng = np.random.default_rng(seed & 0xFFFFFFFF)
-    noise = rng.integers(-32, 33, size=(h, w, 3), dtype=np.int16)
-    return np.clip(_gradient(w, h) + noise, 0, 255).astype(np.uint8)
+    acc = rng.integers(-32, 33, size=(h, w, 3), dtype=np.int16)
+    acc += _gradient(w, h)
+    np.clip(acc, 0, 255, out=acc)
+    return acc.astype(np.uint8)
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     h, w = pixels.shape[:2]
-    raw = np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+    u8 = np.ascontiguousarray(pixels, dtype=np.uint8)
     if fmt == "bmp":
-        return MAGIC_BMP + struct.pack("<HH", w, h) + raw
+        return MAGIC_BMP + struct.pack("<HH", w, h) + u8.tobytes()
     if fmt == "png":
-        return MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(raw, 6)
+        return MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(u8.tobytes(), 6)
     if fmt == "jpeg":
         q = JPEG_Q
-        quant = (pixels.astype(np.int16) // q) * q + q // 2
-        quant = np.clip(quant, 0, 255).astype(np.uint8)
+        # uint8-native quantization: (255//6)*6+3 = 255, so no overflow
+        # and no clip — bit-identical to the int16+clip formulation but
+        # without the 16-bit round-trip (2 fewer full-image copies)
+        quant = (u8 // q) * q + (q // 2)
         return (MAGIC_JPG + struct.pack("<HHB", w, h, q)
                 + zlib.compress(quant.tobytes(), 6))
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -95,7 +104,13 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    """Peak signal-to-noise ratio in dB; inf for identical images.
+
+    Identical arrays short-circuit on a byte compare (1 read pass) before
+    paying the float64 conversion (8x the memory traffic) — the common
+    case on lossless formats and idempotent jpeg re-encodes."""
+    if a.shape == b.shape and np.array_equal(a, b):
+        return float("inf")
     diff = a.astype(np.float64) - b.astype(np.float64)
     mse = float(np.mean(diff * diff))
     if mse == 0:

@@ -117,19 +117,21 @@ def synth_reencode_metrics(points: DataFrame) -> DataFrame:
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        pids = pdf["pid"].astype("int64")
-        fmts = pids.map(fmt_for)
+        # numpy views once — .iloc per element costs microseconds/row,
+        # which is real money at 10^5 rows/partition
+        pids = pdf["pid"].to_numpy().astype("int64")
+        fmts = [fmt_for(int(p)) for p in pids]
         order = np.argsort(pdf["image_id"].to_numpy())
         by_fmt: dict[str, list[int]] = {}
         for pos in order:
-            by_fmt.setdefault(fmts.iloc[pos], []).append(pos)
+            by_fmt.setdefault(fmts[pos], []).append(pos)
         for fmt in sorted(by_fmt):
             sha = hashlib.sha256()
             bytes_in = 0
             bytes_out = 0
             min_psnr = float("inf")
             for pos in by_fmt[fmt]:
-                pid = int(pids.iloc[pos])
+                pid = int(pids[pos])
                 w, h = size_for(pid)
                 blob = codec.encode(codec.synth_pixels(pid, w, h), fmt)
                 px, f = codec.decode(blob)

@@ -220,3 +220,47 @@ def test_nodes_of_anonymous_synthesis(spark):
     rows = nodes_of(ways, nodes).collect()
     assert [(r.seq, r.x, r.node_id) for r in rows] == [
         (0, 10, 101), (1, 20, None), (2, 30, 103)]
+
+
+class TestGeoJsonReader:
+    def test_point_round_trip_within_one_unit(self, spark, tmp_path):
+        """sink -> reader reproduces int Mercator coords within +-1 unit
+        (the 100-nanodegree text precision both we and the reference
+        emit is coarser than one unit — documented contract)."""
+        from libgeodesk_spark.sources.geojson import read_geojsonl
+        from libgeodesk_spark.sources.sinks import write_geojsonl
+        rows = [(0, 0, "o"), (89478485, 643000000, "a"),
+                (-120000000, -45000000, "b"), (2147480000, 900000000, "c")]
+        df = spark.createDataFrame(rows, "x long, y long, name string")
+        gj = str(tmp_path / "gj")
+        write_geojsonl(df, gj, props=["name"])
+        back = read_geojsonl(spark, gj).toPandas()
+        assert set(back.geom_type) == {"Point"}
+        want = {n: (x, y) for x, y, n in rows}
+        for _, r in back.iterrows():
+            wx, wy = want[r.properties["name"]]
+            assert abs(r.x - wx) <= 1 and abs(r.y - wy) <= 1
+
+    def test_polygon_and_mixed_lines(self, spark, tmp_path):
+        from libgeodesk_spark.sources.geojson import read_geojsonl
+        poly = ('{"type":"Feature","geometry":{"type":"Polygon",'
+                '"coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]},'
+                '"properties":{"name":"tri"}}')
+        pt = ('{"type":"Feature","geometry":{"type":"Point",'
+              '"coordinates":[1.0,1.0]},"properties":{"name":"p"}}')
+        ls = ('{"type":"Feature","geometry":{"type":"LineString",'
+              '"coordinates":[[0.0,0.0],[1.0,1.0]]},"properties":{}}')
+        src = tmp_path / "mixed"
+        src.mkdir()
+        (src / "part-0.txt").write_text("\n".join([poly, pt, ls]) + "\n")
+        back = read_geojsonl(spark, str(src)).toPandas()
+        by_type = {r.geom_type: r for _, r in back.iterrows()}
+        assert set(by_type) == {"Polygon", "Point", "LineString"}
+        tri = by_type["Polygon"].rings
+        assert len(tri) == 1 and len(tri[0]) == 4
+        # 1 degree lon = 2^32/360 units
+        assert tri[0][1]["x"] == round((1 << 32) / 360)
+        assert by_type["Point"].x == round((1 << 32) / 360)
+        assert by_type["LineString"].rings is None
+        import pandas as pd
+        assert pd.isna(by_type["LineString"].x)
