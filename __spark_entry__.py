@@ -52,6 +52,7 @@ HOT_THRESHOLD = 50                        # cells with ≥50 points (hot + none)
 SNAP_CELL_RANGE = ((12 << 24) + 1430 * 4096, (12 << 24) + 1433 * 4096 + 4095)
 # stream_window_counts: fixed event-time base (2026-01-01 12:00:00 UTC)
 WM_BASE_EPOCH = 1767268800
+NEAR_PAIRS_R = 32   # units; output dominated by the hot block (~8k pairs)
 
 #: contains_point probes: tooth interior, notch, on the tooth wall,
 #: outside the window, exactly on a ring vertex
@@ -344,6 +345,14 @@ def _q_phash_near_dups(spark, sf_dir):
                "CAST(pid % 8 AS INT))").alias("phash"))
     imgs = pts.select("image_id", "phash").unionByName(twins)
     return phash_near_dups(imgs)
+
+
+def _q_near_pairs(spark, sf_dir):
+    """All point pairs within 32 units (grid band join — the all-pairs
+    maxMetersFrom; operators/distance.within_distance_pairs)."""
+    from libgeodesk_spark.operators.distance import within_distance_pairs
+    return within_distance_pairs(_points(spark, sf_dir), NEAR_PAIRS_R,
+                                 id_col="pid")
 
 
 def _q_clean_corpus(spark, sf_dir):
@@ -731,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_scan": _q_snapshot_scan,
         "stream_window_counts": _q_stream_window_counts,
         "clean_corpus": _q_clean_corpus,
+        "near_pairs": _q_near_pairs,
     }
 
 
@@ -1013,6 +1023,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2"""
     from libgeodesk_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql()
+    from libgeodesk_spark.operators.distance import within_distance_pairs_sql
+    out["near_pairs"] = f"""{pc},
+        {within_distance_pairs_sql(NEAR_PAIRS_R)}"""
     out["snapshot_scan"] = f"""{pc}
         SELECT image_id, pid, cell_id FROM pts
         WHERE pid % 2 = 0

@@ -156,3 +156,34 @@ class Features:
     def wkt(self) -> "F.Column":
         from libgeodesk_spark.sources.sinks import point_wkt
         return point_wkt(F.col(self._x), F.col(self._y))
+
+    # -- dedup / tables (training-pipeline surface) --------------------------
+
+    def near_dups_by_phash(self, max_hamming: int = 3,
+                           id_col: str = "image_id",
+                           phash_col: str = "phash") -> DataFrame:
+        """Visual near-duplicate pairs within a hamming radius of the
+        row's int64 perceptual hash (operators/dedup.phash_near_dups)."""
+        from libgeodesk_spark.operators.dedup import phash_near_dups
+        return phash_near_dups(self._df, id_col, phash_col, max_hamming)
+
+    def to_snapshot(self, path: str,
+                    stat_cols: tuple[str, ...] = ("cell_id",),
+                    mode: str = "append") -> int:
+        """Commit this view as the next snapshot of a manifest table
+        (sources/catalog.SnapshotTable); returns the snapshot version."""
+        from libgeodesk_spark.sources.catalog import SnapshotTable
+        return SnapshotTable(path, stat_cols=stat_cols).commit(
+            self._df, mode=mode)
+
+    @classmethod
+    def from_snapshot(cls, spark, path: str,
+                      snapshot_id: int | None = None,
+                      x: str = "x", y: str = "y") -> "Features":
+        from libgeodesk_spark.sources.catalog import SnapshotTable
+        return cls(SnapshotTable(path).read(spark, snapshot_id), x, y)
+
+    @classmethod
+    def from_geojsonl(cls, spark, path: str) -> "Features":
+        from libgeodesk_spark.sources.geojson import read_geojsonl
+        return cls(read_geojsonl(spark, path))

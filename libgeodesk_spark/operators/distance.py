@@ -94,3 +94,83 @@ def distance_to_zone_sql(rings: list[list[tuple[int, int]]],
                            THEN 0.0 ELSE min_d2 END) AS BIGINT) AS d2
     FROM dist
     """
+
+
+# ---------------------------------------------------------------------------
+# within-distance pair join (spatial self-join, all pairs with d <= r)
+# ---------------------------------------------------------------------------
+
+def within_distance_pairs(points: DataFrame, r_units: int,
+                          id_col: str = "pid",
+                          x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """All unordered pairs (id_a < id_b) with squared distance <= r².
+
+    The all-pairs analog of maxMetersFrom (the reference filters
+    candidates of ONE query point, PointDistanceFilter.cpp:16-167; a
+    training pipeline wants every co-located pair — e.g. burst/near-GPS
+    image groups). Grid-bucketed band join, pure JVM:
+
+    * grid cell g = smallest power of two >= r, so any pair within r
+      lies in the 3x3 cell neighborhood — one side explodes to its 9
+      neighbor keys (9 skinny rows), the other keeps 1 row/point, the
+      join is equi on (gx, gy) and the exact int64 distance filter
+      streams out of it. A pair matches exactly once (b's cell equals
+      exactly one of a's neighbor keys) so no distinct pass.
+    * SKEW IS OUTPUT-DRIVEN: a cell with n points within r of each other
+      genuinely owes ~n²/2 result rows; the grid bounds the CANDIDATE
+      blowup to the same order as the output (9x), which no partitioning
+      scheme can beat. At 100 TB, size r's grid so the p99 bucket fits
+      an executor (same playbook as tileagg salt_hot).
+
+    From Spark's side this is one shuffle on the grid key; Catalyst
+    cannot derive the neighborhood expansion itself (it's a band join),
+    which is why it's an operator and not a WHERE clause.
+    """
+    from pyspark.sql import functions as F
+    g = 1 << max(1, int(r_units - 1).bit_length())   # power of two >= r
+    # arithmetic shift keeps floor semantics for negative coords
+    shift = g.bit_length() - 1
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("px"), F.col(y_col).alias("py"),
+        F.shiftright(F.col(x_col), shift).alias("gx"),
+        F.shiftright(F.col(y_col), shift).alias("gy"))
+    neigh = F.explode(F.array(*[
+        F.struct((F.col("gx") + dx).alias("nx"), (F.col("gy") + dy).alias("ny"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nb")
+    a = base.select("id", "px", "py", neigh) \
+        .select("id", "px", "py", F.col("nb.nx").alias("nx"),
+                F.col("nb.ny").alias("ny"))
+    b = base.select(F.col("id").alias("id_b"), F.col("px").alias("bx"),
+                    F.col("py").alias("by"), "gx", "gy")
+    dx = F.col("px") - F.col("bx")
+    dy = F.col("py") - F.col("by")
+    d2 = (dx * dx + dy * dy).alias("d2")
+    return (a.join(b, (F.col("nx") == F.col("gx"))
+                   & (F.col("ny") == F.col("gy"))
+                   & (F.col("id") < F.col("id_b")))
+            .select(F.col("id").alias("id_a"), "id_b", d2)
+            .filter(F.col("d2") <= F.lit(int(r_units) * int(r_units))))
+
+
+def within_distance_pairs_sql(r_units: int, pts_cte: str = "pts",
+                              id_col: str = "pid") -> str:
+    """DuckDB mirror: same grid band join (a naive cross join at sf0.01
+    is 2·10⁹ pairs — the oracle uses the identical neighborhood logic,
+    which is exact for any r <= grid size by the same argument)."""
+    g = 1 << max(1, int(r_units - 1).bit_length())
+    shift = g.bit_length() - 1
+    r2 = int(r_units) * int(r_units)
+    return f"""
+    grid AS (SELECT {id_col} AS id, x AS px, y AS py,
+                    x >> {shift} AS gx, y >> {shift} AS gy FROM {pts_cte})
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.px - b.px) * (a.px - b.px)
+         + (a.py - b.py) * (a.py - b.py) AS d2
+    FROM grid a JOIN grid b
+      ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+     AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+     AND a.id < b.id
+    WHERE (a.px - b.px) * (a.px - b.px)
+        + (a.py - b.py) * (a.py - b.py) <= {r2}
+    """

@@ -72,3 +72,26 @@ def test_geojson_and_wkt(world):
     assert len(fc["features"]) == 5
     w = world.df.select(world.wkt().alias("w")).first().w
     assert w.startswith("POINT (")
+
+
+class TestPipelineSurface:
+    def test_phash_snapshot_geojsonl_round(self, spark, tmp_path):
+        """Fluent surface over the session's new operators: snapshot
+        commit/read, phash near-dups, GeoJSONL read-back."""
+        from libgeodesk_spark.api import Features
+        rows = [(f"img{i:03d}", 1000 + i, 2000 + i, 7 + i, (i << 8) | 1)
+                for i in range(20)]
+        rows.append(("img_tw", 1500, 2500, 7, (3 << 8) | 3))  # ham-1 twin of img003
+        df = spark.createDataFrame(
+            rows, "image_id string, x long, y long, cell_id long, phash long")
+        f = Features(df)
+        snap = str(tmp_path / "t")
+        assert f.to_snapshot(snap) == 1
+        back = Features.from_snapshot(spark, snap)
+        assert back.count() == 21
+        pairs = {(r.id_a, r.id_b) for r in
+                 f.near_dups_by_phash(max_hamming=1).collect()}
+        assert ("img003", "img_tw") in pairs
+        gj = str(tmp_path / "gj")
+        f.to_geojsonl(gj, props=["image_id"])
+        assert Features.from_geojsonl(spark, gj).count() == 21

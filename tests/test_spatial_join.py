@@ -203,3 +203,37 @@ class TestJvmPipPath:
             sa = sorted((r.image_id, r.zone_id) for r in a.collect())
             sb = sorted((r.image_id, r.zone_id) for r in b.collect())
             assert sa == sb and len(sa) > 0, pred
+
+
+class TestWithinDistancePairs:
+    def test_matches_brute_force(self, spark):
+        """Grid band join vs O(N²) numpy on clustered + negative coords."""
+        import numpy as np
+        from libgeodesk_spark.operators.distance import within_distance_pairs
+        rng = np.random.default_rng(11)
+        # three clusters straddling grid boundaries, plus negatives
+        centers = [(0, 0), (1000, -1000), (-5000, 7000)]
+        xs, ys = [], []
+        for cx, cy in centers:
+            xs += (cx + rng.integers(-80, 81, 60)).tolist()
+            ys += (cy + rng.integers(-80, 81, 60)).tolist()
+        rows = [(i, int(x), int(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+        df = spark.createDataFrame(rows, "pid long, x long, y long")
+        r = 50
+        got = {(p.id_a, p.id_b, p.d2) for p in
+               within_distance_pairs(df, r).collect()}
+        arr = np.array([(x, y) for _, x, y in rows], dtype=np.int64)
+        want = set()
+        for i in range(len(arr)):
+            d2 = ((arr[i + 1:] - arr[i]) ** 2).sum(axis=1)
+            for j in np.nonzero(d2 <= r * r)[0]:
+                want.add((i, i + 1 + int(j), int(d2[j])))
+        assert got == want
+        assert len(want) > 50   # the clusters actually produce pairs
+
+    def test_pair_appears_once(self, spark):
+        from libgeodesk_spark.operators.distance import within_distance_pairs
+        df = spark.createDataFrame([(1, 10, 10), (2, 12, 10)],
+                                   "pid long, x long, y long")
+        out = within_distance_pairs(df, 16).collect()
+        assert len(out) == 1 and out[0].d2 == 4
