@@ -347,6 +347,14 @@ def _q_phash_near_dups(spark, sf_dir):
     return phash_near_dups(imgs)
 
 
+def _q_cell_hulls(spark, sf_dir):
+    """Per-cell minimal convex hull stats (exact int kernel; GEOS-ops
+    analog, operators/geomops.py). No SQL oracle — convex hull is not
+    expressible in DuckDB SQL; kernel is brute-verified in pytest."""
+    from libgeodesk_spark.operators.geomops import cell_hulls
+    return cell_hulls(_points(spark, sf_dir))
+
+
 def _q_near_pairs(spark, sf_dir):
     """All point pairs within 32 units (grid band join — the all-pairs
     maxMetersFrom; operators/distance.within_distance_pairs)."""
@@ -741,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _q_stream_window_counts,
         "clean_corpus": _q_clean_corpus,
         "near_pairs": _q_near_pairs,
+        "cell_hulls": _q_cell_hulls,     # rows-only (no SQL hull oracle)
     }
 
 
