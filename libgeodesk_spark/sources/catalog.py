@@ -148,6 +148,46 @@ class SnapshotTable:
             raise CommitConflict(f"manifest {version} overwritten; retry")
         return version
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """Rewrite the current snapshot's data into ``target_files``
+        files (small-file compaction — the Iceberg rewrite_data_files
+        action). Row-preserving by construction: the new snapshot is a
+        coalesced rewrite of exactly the current file list; old files
+        stay for time travel until expired."""
+        df = self.read(spark).coalesce(target_files)
+        return self.commit(df, mode="overwrite")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop snapshot/manifest records older than the newest
+        ``keep_last`` and delete data files no surviving snapshot
+        references (Iceberg expire_snapshots + orphan cleanup). Returns
+        the expired version numbers. The CURRENT snapshot is never
+        expired."""
+        import os as _os
+        current = self.current_version()
+        versions = sorted(
+            int(_os.path.basename(p)[5:-5])
+            for p in glob.glob(os.path.join(self.path, "snap-*.json")))
+        cut = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+        cut = [v for v in cut if v != current]
+        live: set[str] = set()
+        for v in versions:
+            if v not in cut:
+                live |= {e["path"] for e in self.manifest(v)["files"]}
+        dead: set[str] = set()
+        for v in cut:
+            dead |= {e["path"] for e in self.manifest(v)["files"]}
+        for p in dead - live:
+            if os.path.exists(p):
+                os.remove(p)
+        for v in cut:
+            for f in (self._snap_path(v), self._manifest_path(v)):
+                if os.path.exists(f):
+                    os.remove(f)
+        return cut
+
     # -- reads -------------------------------------------------------------
 
     def read(self, spark: SparkSession,

@@ -95,3 +95,34 @@ class TestSnapshotTable:
         assert ent["rows"] == 100
         lo, hi = ent["stats"]["cell_id"]
         assert lo == 0 and hi == 99   # id*7%100 over 0..99: id=57 -> 99
+
+    def test_compact_preserves_rows(self, spark, tbl):
+        for lo in (0, 100, 200, 300):
+            tbl.commit(_mk(spark, lo, lo + 50).repartition(4))
+        before = {(r.pid, r.cell_id) for r in tbl.read(spark).collect()}
+        assert len(tbl.manifest()["files"]) >= 8
+        v = tbl.compact(spark, target_files=2)
+        assert v == 5
+        assert len(tbl.manifest()["files"]) <= 2
+        assert {(r.pid, r.cell_id)
+                for r in tbl.read(spark).collect()} == before
+        # pre-compaction snapshot still time-travels
+        assert tbl.read(spark, snapshot_id=4).count() == 200
+
+    def test_expire_snapshots(self, spark, tbl):
+        tbl.commit(_mk(spark, 0, 50))
+        tbl.commit(_mk(spark, 50, 80))
+        tbl.compact(spark, target_files=1)
+        expired = tbl.expire_snapshots(keep_last=1)
+        assert expired == [1, 2]
+        assert tbl.read(spark).count() == 80          # current intact
+        with pytest.raises(FileNotFoundError):
+            tbl.manifest(1)
+        # orphaned data files of expired-only snapshots are gone, but
+        # files shared with the live snapshot must survive
+        import glob as _glob
+        import os as _os
+        live = {e["path"] for e in tbl.manifest()["files"]}
+        on_disk = set(_glob.glob(_os.path.join(tbl.path, "data", "*", "*.parquet")))
+        assert live <= on_disk
+        assert on_disk == live   # compacted table references all remaining
