@@ -507,6 +507,9 @@ def _q_emb_near_dup(spark, sf_dir):
 
 ANN_QIDS = [0, 1, 2, 3, 4]
 GOQL_QUERY = "*[lang=en,fr][n_chars>300]"
+# goql_tags: same selector language over a DYNAMIC map<string,string> tag
+# column (the OSM-faithful TagTable model) incl. a wildcard + absent-key
+GOQL_TAGS_QUERY = "*[lang=en,fr][n_chars>300][source=src1*][!missing]"
 EMB_NEAR_D2 = 1_300_000   # quantized units² — ~0.5% of pairs at sf0.01
 
 
@@ -577,6 +580,24 @@ def _q_ann_cosine(spark, sf_dir):
 def _q_goql(spark, sf_dir):
     from libgeodesk_spark.functions.goql import goql_filter
     return goql_filter(_docs(spark, sf_dir), GOQL_QUERY).select("doc_id")
+
+
+def _q_goql_tags(spark, sf_dir):
+    """GOQL over a dynamic map<string,string> tag column built from the
+    document columns — the reference's sparse-tag model (TagTable), with
+    a wildcard value match and an absent-key clause. The oracle states
+    the same predicate directly over the columns (the map is built from
+    exactly those columns, so the truth tables are identical)."""
+    from libgeodesk_spark.functions.goql import goql_filter
+    docs = _docs(spark, sf_dir)
+    tagged = docs.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string")).alias("tags"))
+    return goql_filter(tagged, GOQL_TAGS_QUERY,
+                       tags_col="tags").select("doc_id")
 
 
 def _q_tile_captions(spark, sf_dir):
@@ -720,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
         "ann_recall": _q_ann_recall,         # rows-only (approx-path metric)
         "goql_filter": _q_goql,
+        "goql_tags": _q_goql_tags,
         "tile_captions": _q_tile_captions,
         "tile_metrics": _q_tile_metrics,     # rows-only (binary payloads)
         "tile_mosaic": _q_tile_mosaic,       # rows-only (binary payloads)
@@ -909,6 +931,10 @@ def oracle_sql() -> dict[str, str]:
         "goql_filter": """
             SELECT doc_id FROM documents
             WHERE lang IN ('en', 'fr') AND TRY_CAST(n_chars AS DOUBLE) > 300""",
+        "goql_tags": """
+            SELECT doc_id FROM documents
+            WHERE lang IN ('en', 'fr') AND TRY_CAST(n_chars AS DOUBLE) > 300
+              AND source LIKE 'src1%'""",
         "zorder_key": f"""{pc} SELECT image_id, {_writer().morton_key_sql()} AS zkey FROM pts""",
         "tile_captions": f"""{pc}
             SELECT cell_id,

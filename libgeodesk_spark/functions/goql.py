@@ -207,6 +207,25 @@ def compile_goql(query: str, resolver=None, type_col: str | None = None,
     return out
 
 
-def goql_filter(df: DataFrame, query: str, **kw) -> DataFrame:
-    """`Features("...")( "na[amenity=pub]" )` analog: declarative filter."""
+def tags_resolver(tags_col: str = "tags"):
+    """Resolver for the reference's FAITHFUL tag model: a dynamic
+    ``map<string,string>`` column (TagTable analog — OSM tags are
+    sparse key→value, not fixed columns). ``element_at`` returns NULL
+    for absent keys, which is exactly the matcher's missing-key
+    semantics; the lookup is a JVM map probe inside codegen, the
+    column-store analog of the reference's tag-table walk
+    (MatcherEngine.cpp:103-332 LOAD_CODE/global-key scan)."""
+    def resolver(key):
+        return F.element_at(F.col(tags_col), key).cast("string")
+    return resolver
+
+
+def goql_filter(df: DataFrame, query: str, tags_col: str | None = None,
+                **kw) -> DataFrame:
+    """`Features("...")( "na[amenity=pub]" )` analog: declarative filter.
+
+    ``tags_col``: resolve clause keys against a map<string,string>
+    column instead of top-level columns (the OSM-faithful tag model)."""
+    if tags_col is not None:
+        kw.setdefault("resolver", tags_resolver(tags_col))
     return df.filter(compile_goql(query, **kw))

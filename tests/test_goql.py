@@ -86,3 +86,30 @@ class TestPlan:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "Filter" in plan
+
+
+class TestTagsModel:
+    def test_map_column_resolver(self, spark):
+        """The OSM-faithful dynamic tag model: map<string,string> column,
+        absent keys behave exactly like missing tags."""
+        from pyspark.sql import functions as F
+
+        from libgeodesk_spark.functions.goql import goql_filter
+        rows = [
+            (1, {"amenity": "pub", "name": "The Ox"}),
+            (2, {"amenity": "cafe"}),
+            (3, {"name": "Nameless"}),
+            (4, {"amenity": "pub", "disused": "yes"}),
+        ]
+        df = spark.createDataFrame(rows, "fid long, tags map<string,string>")
+
+        def ids(q):
+            return sorted(r.fid for r in
+                          goql_filter(df, q, tags_col="tags").collect())
+
+        assert ids("*[amenity=pub]") == [1, 4]
+        assert ids("*[amenity=pub][!disused]") == [1]
+        assert ids("*[!amenity]") == [3]
+        assert ids("*[name]") == [1, 3]
+        assert ids("*[amenity=pub,cafe]") == [1, 2, 4]
+        assert ids("*[name=*Ox]") == [1]
