@@ -347,6 +347,17 @@ def _q_phash_near_dups(spark, sf_dir):
     return phash_near_dups(imgs)
 
 
+def _q_knn_join(spark, sf_dir):
+    """Exact kNN JOIN (operators/knn.knn_join — multi-resolution grid
+    doubling, every query point gets its k nearest): gated on a 1/97
+    query sample so the windowed-cross-join oracle stays tractable; the
+    operator runs the same distributed rounds regardless, and the FULL
+    join is brute-verified in pytest at sf0.001."""
+    from libgeodesk_spark.operators.knn import knn_join
+    pts = _points(spark, sf_dir).select("pid", "x", "y")
+    return knn_join(pts, 3, queries=pts.filter(F.col("pid") % 97 == 0))
+
+
 def _q_cell_hulls(spark, sf_dir):
     """Per-cell minimal convex hull stats (exact int kernel; GEOS-ops
     analog, operators/geomops.py). No SQL oracle — convex hull is not
@@ -772,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _q_clean_corpus,
         "near_pairs": _q_near_pairs,
         "cell_hulls": _q_cell_hulls,     # rows-only (no SQL hull oracle)
+        "knn_join": _q_knn_join,
     }
 
 
@@ -1058,6 +1070,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2"""
     from libgeodesk_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql()
+    from libgeodesk_spark.operators.knn import knn_join_sql
+    out["knn_join"] = f"""{pc},
+        {knn_join_sql(3, "pid % 97 = 0")}"""
     from libgeodesk_spark.operators.distance import within_distance_pairs_sql
     out["near_pairs"] = f"""{pc},
         {within_distance_pairs_sql(NEAR_PAIRS_R)}"""

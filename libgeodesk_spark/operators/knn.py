@@ -224,3 +224,178 @@ def max_meters_from(points: DataFrame, meters: float, qx: int, qy: int,
     compare — identical semantics to the reference for nodes."""
     units = units_from_meters(meters, qy)
     return radius_units(points, qx, qy, units * units, x_col=x_col, y_col=y_col)
+
+
+# ---------------------------------------------------------------------------
+# kNN JOIN: the k nearest neighbors of EVERY point (or a query subset)
+# ---------------------------------------------------------------------------
+
+def knn_join(points: DataFrame, k: int, id_col: str = "pid",
+             x_col: str = "x", y_col: str = "y",
+             queries: DataFrame | None = None,
+             g0: int = 64, max_rounds: int = 30) -> DataFrame:
+    """Exact kNN join via multi-resolution grid doubling.
+
+    (id_a, id_b, d2, rank): for every query point, its ``k`` nearest
+    other points by exact int64 squared distance, ties broken by id_b —
+    bit-reproducible, so it carries a SQL oracle.
+
+    The reference answers kNN for ONE query via ring expansion
+    (this module's :func:`knn`, TileIndexWalker-style); a training
+    pipeline wants it for every row (burst grouping, local density,
+    graph building). Scale design:
+
+    * Round i grids ACTIVE queries and ALL points at cell size
+      ``g0 * 2^i`` and joins 3x3 neighborhoods — an equi-join on the
+      grid key, never a driver-side per-query plan. A query resolves
+      when its k-th candidate distance has dk² <= g_i² (no closer point
+      can live outside the 3x3 region — the distance from a point to
+      the region border is >= g_i); unresolved queries carry to the
+      next, 4x-coarser round.
+    * SKEW SELF-SCHEDULES: dense regions (the hot cell) resolve in the
+      first rounds at fine grids where their candidate lists are small
+      (9 cells x local density); sparse regions resolve later at coarse
+      grids where cells are still sparse. The quadratic blowup a fixed
+      grid suffers (hot cell joined at sparse-region scale) never
+      happens for already-resolved points.
+    * Each round re-scans the candidate side once, shuffle-joined on
+      the round's grid key; the active set shrinks geometrically, and a
+      cell-partitioned layout prunes the candidate scan to active
+      neighborhoods (the kNN IN-pushdown story). Remaining documented
+      gap at 100 TB: a late-round sparse query adjacent to a megacity
+      cell pulls that cell's full candidate list through one window —
+      bounded by per-(query, cell) pre-top-k if it ever dominates.
+
+    ``queries``: optional DataFrame with the same id/x/y columns to
+    restrict the query side (the join's left side); candidates are
+    always the full ``points``.
+    """
+    from pyspark.sql import Window
+
+    b_base = points.select(F.col(id_col).alias("id_b"),
+                           F.col(x_col).alias("bx"),
+                           F.col(y_col).alias("by")).cache()
+    pending = (queries if queries is not None else points).select(
+        F.col(id_col).alias("id_a"),
+        F.col(x_col).alias("ax"), F.col(y_col).alias("ay"))
+    n_candidates = b_base.count()          # also materializes the cache
+    kk = min(k, max(n_candidates - 1, 0))
+    if kk == 0:
+        return pending.limit(0).select(
+            F.col("id_a"), F.lit(0).alias("id_b"),
+            F.lit(0).alias("d2"), F.lit(0).alias("rank"))
+
+    shift0 = max(1, int(g0).bit_length() - 1)
+    # density-based start round per query: a query in a zoom-12 cell
+    # holding n points expects its k-th neighbor at radius
+    # ~ cell_extent * sqrt((k+1)/n); starting each query at the matching
+    # grid skips the fine rounds that cannot resolve sparse queries
+    # (they'd run ~log2(spacing/g0) empty 3x3 joins) while dense
+    # queries still start fine — the self-scheduling that makes the
+    # ladder skew-proof in BOTH directions. Start is an UNDER-estimate
+    # on purpose (floor log2, /2 safety): starting too fine costs one
+    # cheap extra round; starting too coarse costs candidates.
+    cshift = 32 - mercator.MAX_ZOOM
+    cell_counts = b_base.groupBy(
+        F.shiftright(F.col("bx"), cshift).alias("cx"),
+        F.shiftright(F.col("by"), cshift).alias("cy")).count()
+    est = F.lit(1 << cshift) * F.sqrt(F.lit(float(kk + 1)) / F.col("count"))
+    start_round = F.greatest(
+        F.lit(0), (F.floor(F.log2(est)) - F.lit(shift0 + 1)).cast("int"))
+    pending = (pending
+               .join(cell_counts,
+                     (F.shiftright(F.col("ax"), cshift) == F.col("cx"))
+                     & (F.shiftright(F.col("ay"), cshift) == F.col("cy")),
+                     "left")
+               .select("id_a", "ax", "ay",
+                       F.coalesce(start_round, F.lit(0)).alias("rstart"))
+               .localCheckpoint(eager=True))
+
+    resolved_parts = []
+    active = pending.limit(0)
+    # jump straight to the first round with work, and after any round
+    # that empties out, to the next pending start — each skipped round
+    # saves ~6 fixed-overhead Spark jobs, which dominate when query
+    # spacing >> g0 (measured: 27s -> 18s on the sparse gate sample)
+    rnd = int(pending.agg(F.min("rstart")).first()[0] or 0)
+    rounds_run = 0
+    while rounds_run < max_rounds:
+        rounds_run += 1
+        shift = shift0 + rnd
+        g = 1 << shift
+        world_done = shift >= 33       # 3x3 at >=2^33 covers all int32
+        newly = pending.filter(F.col("rstart") == rnd) if not world_done \
+            else pending.filter(F.col("rstart") >= rnd)
+        active = active.unionByName(newly)
+        a = active.select(
+            "id_a", "ax", "ay",
+            F.shiftright(F.col("ax"), shift).alias("gx"),
+            F.shiftright(F.col("ay"), shift).alias("gy"))
+        neigh = F.explode(F.array(*[
+            F.struct((F.col("gx") + dx).alias("nx"),
+                     (F.col("gy") + dy).alias("ny"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("nb")
+        a9 = a.select("id_a", "ax", "ay", neigh) \
+            .select("id_a", "ax", "ay", "nb.nx", "nb.ny")
+        b = b_base.select(
+            "id_b", "bx", "by",
+            F.shiftright(F.col("bx"), shift).alias("hx"),
+            F.shiftright(F.col("by"), shift).alias("hy"))
+        dx = F.col("ax") - F.col("bx")
+        dy = F.col("ay") - F.col("by")
+        cand = (a9.join(b, (F.col("nx") == F.col("hx"))
+                        & (F.col("ny") == F.col("hy"))
+                        & (F.col("id_a") != F.col("id_b")))
+                .select("id_a", "id_b", (dx * dx + dy * dy).alias("d2")))
+        w = Window.partitionBy("id_a").orderBy("d2", "id_b")
+        topk = cand.withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= kk)
+        stats = topk.groupBy("id_a").agg(
+            F.count("*").alias("cnt"), F.max("d2").alias("dk2"))
+        done_cond = (F.col("cnt") == kk) & (F.col("dk2") <= F.lit(g * g)) \
+            if not world_done else F.lit(True)
+        done_ids = stats.filter(done_cond).select("id_a")
+        part = topk.join(done_ids, "id_a")
+        # checkpoint breaks the growing lineage (each round otherwise
+        # re-derives every earlier round's join)
+        resolved_parts.append(part.localCheckpoint(eager=True))
+        if world_done:
+            break
+        active = active.join(done_ids, "id_a", "left_anti") \
+            .localCheckpoint(eager=True)
+        if active.isEmpty():
+            nxt = pending.filter(F.col("rstart") > rnd) \
+                .agg(F.min("rstart")).first()[0]
+            if nxt is None:
+                break
+            rnd = int(nxt)
+        else:
+            rnd += 1
+    b_base.unpersist()
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out.select("id_a", "id_b", "d2", F.col("rank").cast("long").alias("rank"))
+
+
+def knn_join_sql(k: int, query_filter: str = "TRUE",
+                 pts_cte: str = "pts", id_col: str = "pid") -> str:
+    """DuckDB mirror: windowed exact kNN over the (filtered) cross join.
+
+    O(|queries| · N) — the oracle restricts the query side via
+    ``query_filter`` to stay tractable; the Spark operator computes the
+    same rows for those queries regardless of how many other queries it
+    also answers."""
+    return f"""
+    q AS (SELECT {id_col} AS id_a, x AS ax, y AS ay FROM {pts_cte}
+          WHERE {query_filter}),
+    pair AS (
+      SELECT q.id_a, b.{id_col} AS id_b,
+             (q.ax - b.x) * (q.ax - b.x)
+           + (q.ay - b.y) * (q.ay - b.y) AS d2
+      FROM q JOIN {pts_cte} b ON b.{id_col} <> q.id_a)
+    SELECT id_a, id_b, d2, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY d2, id_b)
+             AS rank FROM pair)
+    WHERE rank <= {k}
+    """

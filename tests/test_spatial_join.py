@@ -237,3 +237,42 @@ class TestWithinDistancePairs:
                                    "pid long, x long, y long")
         out = within_distance_pairs(df, 16).collect()
         assert len(out) == 1 and out[0].d2 == 4
+
+
+class TestKnnJoin:
+    def test_full_join_matches_brute(self, spark, points, points_pd):
+        """Exact kNN join over ALL sf0.001 points (incl. the hot cell)
+        vs numpy brute force — same ranks, same distances, same ties."""
+        import numpy as np
+        from libgeodesk_spark.operators.knn import knn_join
+        k = 3
+        got = knn_join(points.select("pid", "x", "y"), k).toPandas()
+        pdf = points.select("pid", "x", "y").toPandas()
+        xy = pdf[["x", "y"]].to_numpy(np.int64)
+        pids = pdf["pid"].to_numpy(np.int64)
+        assert len(got) == len(pids) * k
+        got_map = {}
+        for r in got.itertuples(index=False):
+            got_map.setdefault(r.id_a, []).append((r.rank, r.id_b, r.d2))
+        rng = np.random.default_rng(0)
+        probe = rng.choice(len(pids), size=60, replace=False)
+        for i in probe:
+            d2 = ((xy - xy[i]) ** 2).sum(axis=1)
+            order = sorted((int(d2[j]), int(pids[j]))
+                           for j in range(len(pids)) if pids[j] != pids[i])
+            want = [(r + 1, pid_b, dd) for r, (dd, pid_b)
+                    in enumerate(order[:k])]
+            assert sorted(got_map[int(pids[i])]) == want, pids[i]
+
+    def test_query_subset_and_small_corpus(self, spark):
+        from libgeodesk_spark.operators.knn import knn_join
+        df = spark.createDataFrame(
+            [(1, 0, 0), (2, 10, 0), (3, 0, 10), (4, 1000, 1000)],
+            "pid long, x long, y long")
+        q = df.filter("pid = 4")
+        got = sorted((r.rank, r.id_b, r.d2) for r in
+                     knn_join(df, 2, queries=q).collect())
+        assert got == [(1, 2, 980100 + 1000000), (2, 3, 1000000 + 980100)]
+        # k larger than corpus: every point still gets n-1 neighbors
+        full = knn_join(df, 10).toPandas()
+        assert len(full) == 4 * 3
