@@ -233,7 +233,8 @@ def max_meters_from(points: DataFrame, meters: float, qx: int, qy: int,
 def knn_join(points: DataFrame, k: int, id_col: str = "pid",
              x_col: str = "x", y_col: str = "y",
              queries: DataFrame | None = None,
-             g0: int = 64, max_rounds: int = 30) -> DataFrame:
+             g0: int = 64, max_rounds: int = 30,
+             verbose: bool = False) -> DataFrame:
     """Exact kNN join via multi-resolution grid doubling.
 
     (id_a, id_b, d2, rank): for every query point, its ``k`` nearest
@@ -295,20 +296,39 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
     # ladder skew-proof in BOTH directions. Start is an UNDER-estimate
     # on purpose (floor log2, /2 safety): starting too fine costs one
     # cheap extra round; starting too coarse costs candidates.
-    cshift = 32 - mercator.MAX_ZOOM
-    cell_counts = b_base.groupBy(
-        F.shiftright(F.col("bx"), cshift).alias("cx"),
-        F.shiftright(F.col("by"), cshift).alias("cy")).count()
-    est = F.lit(1 << cshift) * F.sqrt(F.lit(float(kk + 1)) / F.col("count"))
+    # TWO density maps, take the MIN radius estimate: a single coarse map
+    # averages a dense block over its whole cell and starts dense queries
+    # far too coarse (measured: the hot block lumped into one zoom-12
+    # cell started at g=2048, where the 3x3 join pairs the block with
+    # itself — 8·10⁹ rows). The fine map sees the block's true density;
+    # the coarse map sees sparse regions the fine map reads as empty.
+    # min() errs toward starting finer, whose cost is a few near-empty
+    # extra rounds, never a quadratic join.
+    def _density_rstart(cshift: int):
+        counts = b_base.groupBy(
+            F.shiftright(F.col("bx"), cshift).alias("cx"),
+            F.shiftright(F.col("by"), cshift).alias("cy")).count()
+        est = F.lit(1 << cshift) * F.sqrt(
+            F.lit(float(kk + 1)) / F.col("count"))
+        joined = pending.join(
+            counts,
+            (F.shiftright(F.col("ax"), cshift) == F.col("cx"))
+            & (F.shiftright(F.col("ay"), cshift) == F.col("cy")), "left")
+        return joined.select(
+            "id_a", "ax", "ay",
+            F.coalesce(F.floor(F.log2(est)).cast("int"),
+                       F.lit(32)).alias(f"lg{cshift}"))
+    coarse_shift = 32 - mercator.MAX_ZOOM            # zoom-12 cells
+    fine_shift = shift0 + 6                          # ~g0*64 cells
+    fine = _density_rstart(fine_shift)
+    coarse = _density_rstart(coarse_shift).select(
+        "id_a", f"lg{coarse_shift}")
     start_round = F.greatest(
-        F.lit(0), (F.floor(F.log2(est)) - F.lit(shift0 + 1)).cast("int"))
-    pending = (pending
-               .join(cell_counts,
-                     (F.shiftright(F.col("ax"), cshift) == F.col("cx"))
-                     & (F.shiftright(F.col("ay"), cshift) == F.col("cy")),
-                     "left")
-               .select("id_a", "ax", "ay",
-                       F.coalesce(start_round, F.lit(0)).alias("rstart"))
+        F.lit(0),
+        (F.least(F.col(f"lg{fine_shift}"), F.col(f"lg{coarse_shift}"))
+         - F.lit(shift0 + 1)).cast("int"))
+    pending = (fine.join(coarse, "id_a")
+               .select("id_a", "ax", "ay", start_round.alias("rstart"))
                .localCheckpoint(eager=True))
 
     resolved_parts = []
@@ -346,23 +366,43 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
         cand = (a9.join(b, (F.col("nx") == F.col("hx"))
                         & (F.col("ny") == F.col("hy"))
                         & (F.col("id_a") != F.col("id_b")))
-                .select("id_a", "id_b", (dx * dx + dy * dy).alias("d2")))
+                .select("id_a", "id_b", "hx", "hy",
+                        (dx * dx + dy * dy).alias("d2")))
+        if not world_done:
+            # EXACT pruning: resolution this round requires every answer
+            # at d <= g (dk² <= g²), so candidates beyond g can never be
+            # part of an accepted top-k — and dropping them cannot fake a
+            # resolution (if the true dk > g, fewer than k candidates
+            # survive the filter and cnt < k blocks acceptance). Cuts
+            # the dominant cost: dense-block candidates pulled by
+            # adjacent sparse queries at coarse rounds.
+            cand = cand.filter(F.col("d2") <= F.lit(g * g))
+        # two-stage top-k: per-(query, candidate-cell) first — bounds
+        # any single window partition at 9 cells' worth of survivors and
+        # parallelizes the dense-cell ranking across its 9 neighborhoods
+        w1 = Window.partitionBy("id_a", "hx", "hy").orderBy("d2", "id_b")
+        cand = cand.withColumn("r1", F.row_number().over(w1)) \
+            .filter(F.col("r1") <= kk).drop("r1", "hx", "hy")
         w = Window.partitionBy("id_a").orderBy("d2", "id_b")
+        # ONE materialization per round: stats, the resolved slice, and
+        # the anti-join all reuse the checkpointed top-k instead of each
+        # re-running the join+windows (4x fewer heavy computations)
         topk = cand.withColumn("rank", F.row_number().over(w)) \
-            .filter(F.col("rank") <= kk)
+            .filter(F.col("rank") <= kk).localCheckpoint(eager=True)
         stats = topk.groupBy("id_a").agg(
             F.count("*").alias("cnt"), F.max("d2").alias("dk2"))
         done_cond = (F.col("cnt") == kk) & (F.col("dk2") <= F.lit(g * g)) \
             if not world_done else F.lit(True)
         done_ids = stats.filter(done_cond).select("id_a")
-        part = topk.join(done_ids, "id_a")
-        # checkpoint breaks the growing lineage (each round otherwise
-        # re-derives every earlier round's join)
-        resolved_parts.append(part.localCheckpoint(eager=True))
+        resolved_parts.append(topk.join(done_ids, "id_a"))
         if world_done:
             break
         active = active.join(done_ids, "id_a", "left_anti") \
             .localCheckpoint(eager=True)
+        if verbose:
+            import time as _t
+            print(f"knn_join round={rnd} g={g} active_left={active.count()}"
+                  f" t={_t.time():.0f}", flush=True)
         if active.isEmpty():
             nxt = pending.filter(F.col("rstart") > rnd) \
                 .agg(F.min("rstart")).first()[0]
