@@ -270,6 +270,11 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
     ``queries``: optional DataFrame with the same id/x/y columns to
     restrict the query side (the join's left side); candidates are
     always the full ``points``.
+
+    Exactness domain: d² is int64, so coordinate deltas must satisfy
+    dx²+dy² < 2^63 — any dataset inside a half-world span (~3·10⁹
+    units) qualifies; truly antipodal full-globe pairs would overflow
+    and callers at planetary extent should pre-split by hemisphere.
     """
     from pyspark.sql import Window
 
@@ -343,7 +348,9 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
         rounds_run += 1
         shift = shift0 + rnd
         g = 1 << shift
-        world_done = shift >= 33       # 3x3 at >=2^33 covers all int32
+        # 3x3 at shift>=32 covers all int32 coords (x>>32 is -1 or 0),
+        # and stopping here also keeps every g*g literal within int64
+        world_done = shift >= 32
         newly = pending.filter(F.col("rstart") == rnd) if not world_done \
             else pending.filter(F.col("rstart") >= rnd)
         active = active.unionByName(newly)
@@ -396,6 +403,7 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
         done_ids = stats.filter(done_cond).select("id_a")
         resolved_parts.append(topk.join(done_ids, "id_a"))
         if world_done:
+            active = None         # 3x3 covered everything: all resolved
             break
         active = active.join(done_ids, "id_a", "left_anti") \
             .localCheckpoint(eager=True)
@@ -407,10 +415,17 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
             nxt = pending.filter(F.col("rstart") > rnd) \
                 .agg(F.min("rstart")).first()[0]
             if nxt is None:
+                active = None     # every query resolved
                 break
             rnd = int(nxt)
         else:
             rnd += 1
+    if active is not None and not active.isEmpty():
+        # never drop queries silently — shift>=33 guarantees resolution,
+        # so this only triggers on an impossible max_rounds budget
+        raise RuntimeError(
+            f"knn_join: queries unresolved after {max_rounds} rounds; "
+            f"raise max_rounds (needs ~{32 - shift0} for full coverage)")
     b_base.unpersist()
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
