@@ -358,6 +358,20 @@ def _q_knn_join(spark, sf_dir):
     return knn_join(pts, 3, queries=pts.filter(F.col("pid") % 97 == 0))
 
 
+def _q_asof_views(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase event matched to
+    its user's latest at-or-before view — one windowed union pass, no
+    range join. Oracle: DuckDB's NATIVE ASOF LEFT JOIN."""
+    from libgeodesk_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter("event_type = 'purchase'") \
+        .select("event_id", "user_id", "ts")
+    right = ev.filter("event_type = 'view'") \
+        .select("user_id", "ts", "event_id")
+    return asof_join(left, right, ["user_id"], "ts", ["event_id"]) \
+        .select("event_id", "user_id", "r_event_id")
+
+
 def _q_cell_hulls(spark, sf_dir):
     """Per-cell minimal convex hull stats (exact int kernel; GEOS-ops
     analog, operators/geomops.py). No SQL oracle — convex hull is not
@@ -784,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_pairs": _q_near_pairs,
         "cell_hulls": _q_cell_hulls,     # rows-only (no SQL hull oracle)
         "knn_join": _q_knn_join,
+        "asof_views": _q_asof_views,
     }
 
 
@@ -1070,6 +1085,14 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2"""
     from libgeodesk_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql()
+    out["asof_views"] = """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'view')
+        SELECT l.event_id, l.user_id, r.event_id AS r_event_id
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts"""
     from libgeodesk_spark.operators.knn import knn_join_sql
     out["knn_join"] = f"""{pc},
         {knn_join_sql(3, "pid % 97 = 0")}"""
