@@ -108,18 +108,53 @@ class SnapshotTable:
         return out
 
     def commit(self, df: DataFrame, mode: str = "append",
-               expected_base: int | None = None) -> int:
+               expected_base: int | None = None,
+               zorder_by: tuple[str, str] | None = None) -> int:
         """Publish ``df`` as the next snapshot; returns its version.
 
         ``mode='append'`` keeps prior files; ``'overwrite'`` replaces the
         file list (old files stay on disk for time travel — Iceberg
         semantics; vacuuming expired snapshots is a separate concern).
         ``expected_base`` pins the optimistic-concurrency base version
-        (defaults to the version observed now)."""
+        (defaults to the version observed now).
+
+        ``zorder_by=(x_col, y_col)``: range-partition + sort the commit
+        by the interleaved Morton key before writing (Iceberg's write
+        ORDERED BY zorder — the same clustering sources/writer.py gives
+        the GOL layout), so per-file min/max stats are tight and
+        planned_scan prunes harder.
+
+        Schema evolution (Iceberg add-column semantics): appends may
+        carry MORE columns than earlier commits; reads merge schemas and
+        old files surface NULLs for the new columns. Column REMOVAL or
+        retyping is rejected here (Iceberg needs table-level metadata to
+        do those safely; this format has per-file schemas only)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         spark = df.sparkSession
         base = self.current_version() if expected_base is None else expected_base
+        if mode == "append" and base > 0:
+            prior_schema = {f.name: f.dataType.simpleString()
+                            for f in self.read(spark, base).schema.fields}
+            new_schema = {f.name: f.dataType.simpleString()
+                          for f in df.schema.fields}
+            missing = set(prior_schema) - set(new_schema)
+            retyped = {c for c in prior_schema.keys() & new_schema.keys()
+                       if prior_schema[c] != new_schema[c]}
+            if missing or retyped:
+                raise ValueError(
+                    f"append schema mismatch: missing={sorted(missing)} "
+                    f"retyped={sorted(retyped)} — only ADDING columns is "
+                    f"supported")
+        if zorder_by is not None:
+            from libgeodesk_spark.sources.writer import morton_key
+            xc, yc = zorder_by
+            zk = morton_key(F.col(xc), F.col(yc))
+            # explicit partition count — a bare repartitionByRange is
+            # AQE-coalescible and collapsed small commits to ONE file,
+            # erasing the clustering (measured)
+            n_files = max(df.rdd.getNumPartitions(), 1)
+            df = df.repartitionByRange(n_files, zk).sortWithinPartitions(zk)
         commit_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", commit_id)
         df.write.mode("error").parquet(data_dir)
@@ -196,7 +231,9 @@ class SnapshotTable:
         files = [e["path"] for e in self.manifest(snapshot_id)["files"]]
         if not files:
             raise ValueError("empty table (version 0)")
-        return spark.read.parquet(*files)
+        # mergeSchema: evolved tables mix file schemas; older files
+        # surface NULLs for later-added columns (add-column evolution)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
     def planned_scan(self, spark: SparkSession,
                      ranges: dict[str, tuple], snapshot_id: int | None = None,
@@ -232,7 +269,7 @@ class SnapshotTable:
             # empty result with the snapshot's schema
             df = self.read(spark, snapshot_id).limit(0)
         else:
-            df = spark.read.parquet(*kept)
+            df = spark.read.option("mergeSchema", "true").parquet(*kept)
         cond = None
         for c, (lo, hi) in ranges.items():
             term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))

@@ -126,3 +126,43 @@ class TestSnapshotTable:
         on_disk = set(_glob.glob(_os.path.join(tbl.path, "data", "*", "*.parquet")))
         assert live <= on_disk
         assert on_disk == live   # compacted table references all remaining
+
+    def test_schema_evolution_add_column(self, spark, tbl):
+        tbl.commit(_mk(spark, 0, 50))
+        evolved = _mk(spark, 50, 80).withColumn("score", F.col("pid") * 2)
+        tbl.commit(evolved)
+        df = tbl.read(spark)
+        assert set(df.columns) == {"pid", "cell_id", "score"}
+        rows = {r.pid: r.score for r in df.collect()}
+        assert rows[10] is None          # old file -> NULL for new column
+        assert rows[60] == 120
+        # dropping or retyping a column is rejected
+        with pytest.raises(ValueError, match="missing"):
+            tbl.commit(_mk(spark, 80, 90).drop("cell_id"))
+        with pytest.raises(ValueError, match="retyped"):
+            tbl.commit(_mk(spark, 80, 90)
+                       .withColumn("score", F.lit("s")))
+
+    def test_zorder_commit_tightens_stats(self, spark, tmp_path):
+        import random
+        rnd = random.Random(3)
+        rows = [(i, rnd.randrange(1 << 24), rnd.randrange(1 << 24))
+                for i in range(4000)]
+        df = spark.createDataFrame(rows, "pid long, x long, y long") \
+            .repartition(8)
+        plain = SnapshotTable(str(tmp_path / "plain"), stat_cols=("x",))
+        plain.commit(df)
+        zed = SnapshotTable(str(tmp_path / "zed"), stat_cols=("x",))
+        zed.commit(df, zorder_by=("x", "y"))
+        assert zed.read(spark).count() == 4000
+
+        def spread(t):
+            ents = t.manifest()["files"]
+            return sum(e["stats"]["x"][1] - e["stats"]["x"][0]
+                       for e in ents) / len(ents)
+        # z-ordered files carry much tighter per-file x ranges
+        assert spread(zed) < spread(plain) * 0.7
+        # and the pruned scan keeps fewer files for a narrow x band
+        _, zp = zed.planned_scan(spark, {"x": (1000, 50000)})
+        _, pp = plain.planned_scan(spark, {"x": (1000, 50000)})
+        assert zp["files_pruned"] > pp["files_pruned"]
