@@ -358,6 +358,44 @@ def _q_knn_join(spark, sf_dir):
     return knn_join(pts, 3, queries=pts.filter(F.col("pid") % 97 == 0))
 
 
+def _q_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join (purchases x views within 1 hour, same
+    user), driven as two availableNow epochs (split by event_id parity,
+    so cross-epoch pairs must match through checkpointed state) through
+    one checkpoint in append mode. The watermark exceeds the data span,
+    so no state evicts before its partner arrives and the oracle is the
+    plain SQL range join (streaming/ingest.stream_range_join documents
+    the production eviction contract)."""
+    import tempfile
+
+    from libgeodesk_spark.streaming.ingest import stream_range_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = tempfile.mkdtemp(prefix="spark_graft_ssj_")
+    lsrc, rsrc, out, ck = (f"{base}/l", f"{base}/r",
+                           f"{base}/out", f"{base}/ck")
+
+    def epoch(pred, sub):
+        ev.filter(f"event_type = 'purchase' AND ({pred})") \
+          .select("event_id", "user_id", "ts").write.parquet(f"{lsrc}/{sub}")
+        ev.filter(f"event_type = 'view' AND ({pred})") \
+          .select("event_id", "user_id", "ts").write.parquet(f"{rsrc}/{sub}")
+        sch = "event_id long, user_id long, ts timestamp"
+        l = spark.readStream.schema(sch).parquet(lsrc + "/*")
+        r = spark.readStream.schema(sch).parquet(rsrc + "/*")
+        j = stream_range_join(l, r, "user_id").select(
+            F.col("l.event_id").alias("p_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.col("r.event_id").alias("v_id"))
+        q = (j.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    epoch("event_id % 2 = 0", "b1")
+    epoch("event_id % 2 = 1", "b2")
+    return spark.read.parquet(out).select("p_id", "user_id", "v_id")
+
+
 def _q_asof_views(spark, sf_dir):
     """As-of join (operators/asof.py): each purchase event matched to
     its user's latest at-or-before view — one windowed union pass, no
@@ -799,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_hulls": _q_cell_hulls,     # rows-only (no SQL hull oracle)
         "knn_join": _q_knn_join,
         "asof_views": _q_asof_views,
+        "stream_join": _q_stream_join,
     }
 
 
@@ -1085,6 +1124,14 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2"""
     from libgeodesk_spark.operators.pipeline import clean_corpus_sql
     out["clean_corpus"] = clean_corpus_sql()
+    out["stream_join"] = """
+        SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""
     out["asof_views"] = """
         WITH l AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'purchase'),

@@ -90,3 +90,29 @@ def stream_first_seen(stream: DataFrame, key_col: str = "phash",
     return (stream.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_range_join(left: DataFrame, right: DataFrame, key_col: str,
+                      ts_col: str = "ts", window: str = "1 hour",
+                      watermark: str = "35 days") -> DataFrame:
+    """Stream-stream INNER join: left rows matched to right rows of the
+    same key with ``right.ts`` in ``[left.ts - window, left.ts]`` — the
+    streaming analog of the as-of/range alignment (operators/asof.py is
+    the batch path).
+
+    Both sides carry watermarks; Spark keeps each side's rows in state
+    until the other side's watermark passes ``ts + window``, so state is
+    BOUNDED by (watermark + window) x arrival rate — the property that
+    makes the join runnable forever at 100 TB/day. For the deterministic
+    gate the watermark exceeds the data span, so no state is evicted
+    before its partner arrives and the result equals the batch range
+    join; production sets it to the real lateness bound and accepts the
+    documented eviction semantics."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}")
+           - F.expr(f"INTERVAL {window}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}")))
