@@ -264,3 +264,44 @@ class TestGeoJsonReader:
         assert by_type["LineString"].rings is None
         import pandas as pd
         assert pd.isna(by_type["LineString"].x)
+
+
+class TestStreamRangeJoin:
+    def test_cross_epoch_matches(self, spark, tmp_path):
+        """Pairs split across availableNow epochs match through
+        checkpointed join state; result equals the batch range join."""
+        import datetime
+
+        from libgeodesk_spark.streaming.ingest import stream_range_join
+        base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ts(mins):
+            return base + datetime.timedelta(minutes=mins)
+
+        # (event_id, user, ts): purchase 1 matches views 10/11 (within
+        # 60 min); purchase 2 has no view in range; the matching view 11
+        # arrives in the SECOND epoch, after its purchase
+        purchases = [(1, 7, ts(100)), (2, 7, ts(300))]
+        views = [(10, 7, ts(50)), (11, 7, ts(90)), (12, 7, ts(170))]
+        lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        sch = "event_id long, user_id long, ts timestamp"
+
+        def epoch(p_rows, v_rows, sub):
+            from pyspark.sql import functions as F
+            spark.createDataFrame(p_rows, sch).write.parquet(f"{lsrc}/{sub}")
+            spark.createDataFrame(v_rows, sch).write.parquet(f"{rsrc}/{sub}")
+            l = spark.readStream.schema(sch).parquet(lsrc + "/*")
+            r = spark.readStream.schema(sch).parquet(rsrc + "/*")
+            j = stream_range_join(l, r, "user_id", window="60 minutes") \
+                .select(F.col("l.event_id").alias("p_id"),
+                        F.col("r.event_id").alias("v_id"))
+            q = (j.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        epoch([purchases[0]], [views[0]], "b1")
+        epoch([purchases[1]], views[1:], "b2")
+        got = {(r.p_id, r.v_id) for r in spark.read.parquet(out).collect()}
+        assert got == {(1, 10), (1, 11)}   # 11 matched across epochs
