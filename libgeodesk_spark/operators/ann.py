@@ -454,3 +454,140 @@ def ann_recall(emb: DataFrame, query_ids: list[int], k: int,
                      int(round(100.0 * hits / max(len(exact), 1)))))
     return spark.createDataFrame(
         rows, "method string, n_hits long, n_exact long, recall_pct long")
+
+
+# -- product quantization (PQ): the memory-scale path -------------------------
+
+PQ_M = 8          # subspaces
+PQ_NBITS = 8      # centroids per subspace = 2^8
+
+
+def pq_train(emb: DataFrame, m: int = PQ_M, ksub: int = 1 << PQ_NBITS,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             iters: int = 5) -> np.ndarray:
+    """Train PQ codebooks: split each vector into ``m`` contiguous
+    subvectors and k-means each subspace independently (the FAISS PQ
+    recipe). Returns (m, ksub, dsub) float64 codebooks.
+
+    Why PQ at 100 TB: a 64-d float32 vector is 256 bytes; its PQ8x8
+    code is 8 bytes — 32x less memory/IO, which is what makes an
+    exhaustive re-rankable scan of a trillion-vector corpus possible at
+    all. Training reuses the distributed Lloyd trainer per subspace
+    (one mapInPandas pass per iteration per subspace over that
+    subspace's slice only)."""
+    dim = len(emb.select(vec_col).first()[0])
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = emb.select(
+            id_col, F.slice(vec_col, s * dsub + 1, dsub).alias(vec_col))
+        cents = ivf_centroids_distributed(sub, min(ksub, emb.count()),
+                                          id_col=id_col, vec_col=vec_col,
+                                          iters=iters)
+        books.append(cents)
+    return np.stack(books)
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding") -> DataFrame:
+    """Add ``codes`` (array<int> of length m): nearest codeword per
+    subspace — one Arrow pass, numpy matmul per batch per subspace."""
+    from pyspark.sql import types as T
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    schema = T.StructType(list(emb.schema.fields)
+                          + [T.StructField("codes",
+                                           T.ArrayType(T.IntegerType()))])
+
+    def enc(batches):
+        books = bc.value
+        m, ksub, dsub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                c = books[s]
+                sub = v[:, s * dsub:(s + 1) * dsub]
+                d = (-2.0 * sub @ c.T) + (c * c).sum(axis=1)[None, :]
+                codes[:, s] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["codes"] = [row.tolist() for row in codes]
+            yield pdf
+
+    return emb.mapInPandas(enc, schema=schema)
+
+
+def pq_topk(codes_df: DataFrame, codebooks: np.ndarray,
+            query_vecs: dict[int, np.ndarray], k: int,
+            id_col: str = "vec_id") -> DataFrame:
+    """(qid, vec_id, adc, rank): approximate top-k by asymmetric
+    distance (ADC) — per query, precompute the (m, ksub) table of
+    subspace distances to every codeword, then each candidate scores as
+    m table lookups on its 8-byte code; the full-precision vector is
+    never read. One Arrow pass over the codes, heap-free ranking via a
+    window on the tiny per-partition survivors."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+    spark = codes_df.sparkSession
+    books = codebooks
+    m, ksub, dsub = books.shape
+    tables = {}
+    for qid, v in query_vecs.items():
+        t = np.empty((m, ksub))
+        for s in range(m):
+            sub = np.asarray(v[s * dsub:(s + 1) * dsub], dtype=np.float64)
+            t[s] = ((books[s] - sub) ** 2).sum(axis=1)
+        tables[qid] = t
+    bc = spark.sparkContext.broadcast(tables)
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField(id_col, codes_df.schema[id_col].dataType),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def score(batches):
+        tabs = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            for qid, t in tabs.items():
+                adc = t[np.arange(m)[None, :], codes].sum(axis=1)
+                keep = ids != qid
+                yield pd.DataFrame({"qid": qid, id_col: ids[keep],
+                                    "adc": adc[keep]})
+
+    scored = codes_df.select(id_col, "codes").mapInPandas(score, schema)
+    w = Window.partitionBy("qid").orderBy("adc", id_col)
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
+def pq_topk_rerank(emb: DataFrame, codes_df: DataFrame,
+                   codebooks: np.ndarray, query_ids: list[int], k: int,
+                   shortlist: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The production PQ pipeline: ADC over the 8-byte codes produces a
+    ``shortlist`` per query (the only full-corpus pass — 32x less IO
+    than scanning vectors), then ONLY the shortlist rows fetch their
+    full-precision vectors for an exact quantized-L2 re-rank. Output
+    schema matches brute_topk (qid, vec_id, d2, rank)."""
+    qrows = emb.filter(F.col(id_col).isin(query_ids)) \
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    qvecs = {int(r["qid"]): np.asarray(r["qe"], dtype=np.float64)
+             for r in qrows.collect()}
+    short = pq_topk(codes_df, codebooks, qvecs, shortlist, id_col=id_col) \
+        .select("qid", id_col)
+    cand = short.join(emb.select(id_col, vec_col), id_col) \
+        .join(F.broadcast(qrows), "qid")
+    d2 = quantized_sq_l2(F.col("qe"), F.col(vec_col)).alias("d2")
+    w = Window.partitionBy("qid").orderBy("d2", id_col)
+    return (cand.select("qid", F.col(id_col).alias("vec_id"), d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

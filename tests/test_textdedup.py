@@ -210,3 +210,25 @@ class TestPipeline:
             "vec_id long, embedding array<float>")
         got = sorted(r.doc_id for r in clean_corpus(docs, emb).collect())
         assert got == [0, 2]   # doc 1 is an exact dup of doc 0
+
+    def test_pq_adc_recall(self, emb):
+        """PQ8x8 ADC top-k recovers most of the exact top-5 (32x memory
+        compression path); codes are valid codeword indices."""
+        import numpy as np
+        from libgeodesk_spark.operators.ann import (
+            brute_topk, pq_encode, pq_train)
+        books = pq_train(emb, iters=3)
+        m, ksub, dsub = books.shape
+        assert (m, dsub) == (8, 8)
+        codes = pq_encode(emb, books)
+        pdf = codes.select("vec_id", "codes").toPandas()
+        arr = np.array(pdf.codes.tolist())
+        assert arr.shape[1] == m and arr.min() >= 0 and arr.max() < ksub
+        from libgeodesk_spark.operators.ann import pq_topk_rerank
+        approx = pq_topk_rerank(emb, codes, books, [0, 1, 2, 3, 4], 5,
+                                shortlist=64).toPandas()
+        exact = brute_topk(emb, [0, 1, 2, 3, 4], 5).toPandas()
+        e = set(map(tuple, exact[["qid", "vec_id"]].values.tolist()))
+        a = set(map(tuple, approx[["qid", "vec_id"]].values.tolist()))
+        assert len(a) == len(e)
+        assert len(e & a) >= len(e) * 0.5
