@@ -628,6 +628,18 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(emb, ANN_QIDS, 10)
 
 
+def _q_ann_pq(spark, sf_dir):
+    """PQ pipeline end-to-end (rows-only: ADC is float-ranked): train
+    PQ8x8 codebooks distributed, encode, ADC shortlist, exact re-rank
+    (ann.pq_topk_rerank)."""
+    from libgeodesk_spark.operators.ann import (
+        pq_encode, pq_topk_rerank, pq_train)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, iters=3)
+    codes = pq_encode(emb, books)
+    return pq_topk_rerank(emb, codes, books, ANN_QIDS, 10, shortlist=64)
+
+
 def _q_ann_recall(spark, sf_dir):
     from libgeodesk_spark.operators.ann import ann_recall
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -803,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,          # rows-only (approximate variant)
         "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
         "ann_recall": _q_ann_recall,         # rows-only (approx-path metric)
+        "ann_pq_topk": _q_ann_pq,            # rows-only (approximate variant)
         "goql_filter": _q_goql,
         "goql_tags": _q_goql_tags,
         "tile_captions": _q_tile_captions,
