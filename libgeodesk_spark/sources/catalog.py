@@ -5,7 +5,8 @@ so this module implements the three Iceberg behaviors the engine relies
 on, on plain parquet + JSON, with the same guarantees:
 
 1. **Atomic snapshot commits + time travel** — a commit writes data files
-   into an immutable staging dir, a ``manifest-<v>.json`` listing them,
+   into an immutable staging dir, a commit-unique ``manifest-<v>-<cid>.json``
+   listing them,
    then publishes ``snap-<v>.json`` with ``open(..., 'x')`` (exclusive
    create = the compare-and-swap of Iceberg's HadoopCatalog version-hint
    rename). Readers resolve the highest published snapshot (or any pinned
@@ -30,7 +31,7 @@ Layout::
 
     table/
       data/<commit-uuid>/part-*.parquet   (immutable once published)
-      manifest-<v>.json                   (file list + stats of snapshot v)
+      manifest-<v>-<cid>.json             (immutable file list + stats)
       snap-<v>.json                       (snapshot pointer, created with 'x')
 
 Scale notes: manifests here are one JSON per snapshot, fine to ~10^5
@@ -65,8 +66,12 @@ class SnapshotTable:
     def _snap_path(self, version: int) -> str:
         return os.path.join(self.path, f"snap-{version}.json")
 
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.path, f"manifest-{version}.json")
+    def _manifest_path(self, version: int, commit_id: str) -> str:
+        # commit-id-unique name: manifests are immutable once written, so
+        # two writers racing on the same version can never overwrite each
+        # other's manifest — the snap pointer's exclusive create alone
+        # decides which manifest version v resolves to
+        return os.path.join(self.path, f"manifest-{version}-{commit_id}.json")
 
     def current_version(self) -> int:
         """Highest PUBLISHED snapshot (0 = empty table)."""
@@ -78,11 +83,17 @@ class SnapshotTable:
                 continue
         return best
 
+    def _snap(self, version: int) -> dict:
+        with open(self._snap_path(version)) as f:
+            return json.load(f)
+
     def manifest(self, snapshot_id: int | None = None) -> dict:
         v = self.current_version() if snapshot_id is None else snapshot_id
         if v == 0:
             return {"version": 0, "files": []}
-        with open(self._manifest_path(v)) as f:
+        # resolve THROUGH the snap pointer: only the manifest the winning
+        # commit published is ever visible
+        with open(self._manifest_path(v, self._snap(v)["commit_id"])) as f:
             return json.load(f)
 
     # -- commit ----------------------------------------------------------------
@@ -164,23 +175,23 @@ class SnapshotTable:
         version = base + 1
         manifest = {"version": version, "base": base, "mode": mode,
                     "commit_id": commit_id, "files": prior + entries}
-        with open(self._manifest_path(version) + f".{commit_id}", "w") as f:
+        # immutable, commit-unique manifest file — concurrent writers on
+        # the same version write DIFFERENT files, so nothing to race on
+        with open(self._manifest_path(version, commit_id), "w") as f:
             json.dump(manifest, f)
-        os.replace(self._manifest_path(version) + f".{commit_id}",
-                   self._manifest_path(version))
-        # CAS publish: exclusive create loses to any concurrent winner
+        # CAS publish: exclusive create loses to any concurrent writer;
+        # readers resolve the manifest THROUGH this pointer, so a losing
+        # writer's manifest is dead weight, never served (the earlier
+        # shared-manifest design could publish the loser's file list
+        # while reporting conflict to both writers)
         try:
             with open(self._snap_path(version), "x") as f:
                 json.dump({"version": version, "commit_id": commit_id}, f)
         except FileExistsError:
+            os.remove(self._manifest_path(version, commit_id))
             raise CommitConflict(
                 f"snapshot {version} already published; retry from "
                 f"{self.current_version()}") from None
-        # verify our manifest is the published one (a conflicting writer
-        # could have renamed its manifest between our replace and create)
-        if json.load(open(self._manifest_path(version)))["commit_id"] \
-                != commit_id:
-            raise CommitConflict(f"manifest {version} overwritten; retry")
         return version
 
     # -- maintenance -------------------------------------------------------
@@ -218,7 +229,8 @@ class SnapshotTable:
             if os.path.exists(p):
                 os.remove(p)
         for v in cut:
-            for f in (self._snap_path(v), self._manifest_path(v)):
+            mf = self._manifest_path(v, self._snap(v)["commit_id"])
+            for f in (mf, self._snap_path(v)):
                 if os.path.exists(f):
                     os.remove(f)
         return cut

@@ -71,7 +71,8 @@ class TestSnapshotTable:
         json.dump({"version": 2, "base": 1, "commit_id": "deadbeef",
                    "files": [{"path": p, "rows": 0, "stats": {}} for p in
                              glob.glob(data_dir + "/*.parquet")]},
-                  open(os.path.join(tbl.path, "manifest-2.json"), "w"))
+                  open(os.path.join(tbl.path, "manifest-2-deadbeef.json"),
+                       "w"))
         assert tbl.current_version() == 1
         assert tbl.read(spark).count() == 50
         # next real commit supersedes the orphan manifest
@@ -118,6 +119,7 @@ class TestSnapshotTable:
         assert tbl.read(spark).count() == 80          # current intact
         with pytest.raises(FileNotFoundError):
             tbl.manifest(1)
+        assert not glob.glob(os.path.join(tbl.path, "manifest-1-*.json"))
         # orphaned data files of expired-only snapshots are gone, but
         # files shared with the live snapshot must survive
         import glob as _glob
@@ -166,3 +168,24 @@ class TestSnapshotTable:
         _, zp = zed.planned_scan(spark, {"x": (1000, 50000)})
         _, pp = plain.planned_scan(spark, {"x": (1000, 50000)})
         assert zp["files_pruned"] > pp["files_pruned"]
+
+    def test_losing_writer_manifest_never_served(self, spark, tbl):
+        """The CAS race fix: simulate the loser's sequence — its
+        commit-unique manifest exists on disk before the CAS — and
+        verify readers resolve version v through the snap pointer to
+        the WINNER's manifest only."""
+        tbl.commit(_mk(spark, 0, 10))     # winner publishes v1
+        # loser wrote its manifest for v1 but lost the snap CAS
+        json.dump({"version": 1, "base": 0, "commit_id": "loser0000000",
+                   "files": [{"path": "/nonexistent", "rows": 999,
+                              "stats": {}}]},
+                  open(os.path.join(tbl.path,
+                                    "manifest-1-loser0000000.json"), "w"))
+        man = tbl.manifest(1)
+        assert man["commit_id"] != "loser0000000"
+        assert tbl.read(spark).count() == 10
+        with pytest.raises(CommitConflict):
+            tbl.commit(_mk(spark, 10, 20), expected_base=0)
+        # the conflicting attempt cleaned up its own manifest
+        assert len(glob.glob(os.path.join(tbl.path,
+                                          "manifest-1-*.json"))) == 2
