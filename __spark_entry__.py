@@ -486,6 +486,51 @@ def _q_stream_window_counts(spark, sf_dir):
         "cell_id", F.col("n").cast("long").alias("n"))
 
 
+def _q_stream_sessions(spark, sf_dir):
+    """Event-time SESSION windows (streaming sessionization) as two
+    availableNow epochs through one checkpoint: epoch 1 (even pids at
+    s = pid%120, user = (pid>>1)%2) builds one open session per user
+    (every gap < 30s); nothing emits — session ends (last_ts + 30s)
+    are beyond the watermark. Epoch 2 adds two far-future rows whose
+    watermark closes the epoch-1 sessions, emitting each EXACTLY once
+    with its full count; epoch 2's own sessions stay open and never
+    emit. Oracle: per-user min/max/count over the epoch-1 rows."""
+    import tempfile
+
+    from libgeodesk_spark.streaming.ingest import stream_session_counts
+    base = tempfile.mkdtemp(prefix="spark_graft_sess_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    pts = _points(spark, sf_dir).select("pid")
+
+    def ev(df, s_col):
+        return df.select(
+            F.shiftright(F.col("pid"), 1).bitwiseAND(F.lit(1))
+             .alias("user_id"),
+            F.timestamp_seconds(F.lit(WM_BASE_EPOCH) + s_col).alias("ts"))
+
+    def epoch(df, sub):
+        df.write.parquet(f"{src}/{sub}")
+        s = spark.readStream.schema("user_id long, ts timestamp")             .parquet(src + "/*")
+        q = (stream_session_counts(s).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    epoch(ev(pts.filter(F.col("pid") % 2 == 0), F.col("pid") % 120), "b1")
+    epoch(ev(pts.filter(F.col("pid") % 2 != 0).limit(0), F.lit(0))
+          .unionByName(spark.createDataFrame(
+              [(0, 1000), (1, 1010)], "user_id long, s long")
+              .select("user_id", F.timestamp_seconds(
+                  F.lit(WM_BASE_EPOCH) + F.col("s")).alias("ts"))), "b2")
+    return spark.read.parquet(out).select(
+        "user_id",
+        (F.col("session_window.start").cast("long") - WM_BASE_EPOCH)
+        .alias("start_s"),
+        (F.col("session_window.end").cast("long") - WM_BASE_EPOCH)
+        .alias("end_s"),
+        F.col("n").cast("long").alias("n"))
+
+
 def _q_snapshot_scan(spark, sf_dir):
     """Snapshot-table semantics end-to-end (the Iceberg-analog,
     sources/catalog.py): commit even-pid points as snapshot 1, append
@@ -851,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "asof_views": _q_asof_views,
         "stream_join": _q_stream_join,
+        "stream_sessions": _q_stream_sessions,
     }
 
 
@@ -1159,6 +1205,13 @@ def oracle_sql() -> dict[str, str]:
     from libgeodesk_spark.operators.distance import within_distance_pairs_sql
     out["near_pairs"] = f"""{pc},
         {within_distance_pairs_sql(NEAR_PAIRS_R)}"""
+    out["stream_sessions"] = f"""{pc},
+        e1 AS (SELECT (pid >> 1) & 1 AS user_id, pid % 120 AS s
+               FROM pts WHERE pid % 2 = 0)
+        SELECT user_id, CAST(MIN(s) AS BIGINT) AS start_s,
+               CAST(MAX(s) + 30 AS BIGINT) AS end_s,
+               COUNT(*) AS n
+        FROM e1 GROUP BY user_id"""
     out["snapshot_scan"] = f"""{pc}
         SELECT image_id, pid, cell_id FROM pts
         WHERE pid % 2 = 0

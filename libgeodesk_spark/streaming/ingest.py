@@ -116,3 +116,17 @@ def stream_range_join(left: DataFrame, right: DataFrame, key_col: str,
         & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}")
            - F.expr(f"INTERVAL {window}"))
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}")))
+
+
+def stream_session_counts(stream: DataFrame, key_col: str = "user_id",
+                          ts_col: str = "ts", gap: str = "30 seconds",
+                          watermark: str = "30 seconds") -> DataFrame:
+    """Event-time SESSION windows per key: a session groups rows whose
+    gaps are < ``gap``; the window closes (and, in append mode, emits
+    exactly once) when the watermark passes its end = last_ts + gap.
+    State per open session is one row — bounded by active keys, the
+    property that lets sessionization run forever on the event stream
+    (batch analog: the lag+cumsum sessionizer behind user_sessions)."""
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+            .agg(F.count("*").alias("n")))
