@@ -187,3 +187,22 @@ class Features:
     def from_geojsonl(cls, spark, path: str) -> "Features":
         from libgeodesk_spark.sources.geojson import read_geojsonl
         return cls(read_geojsonl(spark, path))
+
+    def knn_join(self, k: int, id_col: str = "pid") -> DataFrame:
+        """k nearest neighbors of EVERY feature (operators/knn.knn_join
+        — multi-resolution grid doubling, exact)."""
+        from libgeodesk_spark.operators.knn import knn_join
+        return knn_join(self._df, k, id_col=id_col,
+                        x_col=self._x, y_col=self._y)
+
+    def pairs_within(self, r_units: int, id_col: str = "pid") -> DataFrame:
+        """All pairs within r units (grid band join, exact)."""
+        from libgeodesk_spark.operators.distance import within_distance_pairs
+        return within_distance_pairs(self._df, r_units, id_col=id_col,
+                                     x_col=self._x, y_col=self._y)
+
+    def cell_hulls(self, cell_col: str = "cell_id") -> DataFrame:
+        """Minimal convex hull stats per cell (exact int kernel)."""
+        from libgeodesk_spark.operators.geomops import cell_hulls
+        return cell_hulls(self._df, id_col=cell_col,
+                          x_col=self._x, y_col=self._y)

@@ -95,3 +95,16 @@ class TestPipelineSurface:
         gj = str(tmp_path / "gj")
         f.to_geojsonl(gj, props=["image_id"])
         assert Features.from_geojsonl(spark, gj).count() == 21
+
+    def test_spatial_pair_surface(self, spark):
+        from libgeodesk_spark.api import Features
+        df = spark.createDataFrame(
+            [(1, 0, 0, 9), (2, 10, 0, 9), (3, 0, 12, 9), (4, 500, 500, 9)],
+            "pid long, x long, y long, cell_id long")
+        f = Features(df)
+        nn = f.knn_join(1).toPandas()
+        assert dict(zip(nn.id_a, nn.id_b)) == {1: 2, 2: 1, 3: 1, 4: 3}
+        pw = f.pairs_within(16).toPandas()
+        assert sorted(zip(pw.id_a, pw.id_b)) == [(1, 2), (1, 3), (2, 3)]
+        h = f.cell_hulls().toPandas()
+        assert h.n_points.sum() == 4
