@@ -121,13 +121,16 @@ def ivf_centroids(emb: DataFrame, n_lists: int = IVF_LISTS,
     return cents
 
 
-def auto_lists(n_vectors: int) -> int:
+def auto_lists(n_vectors: int, max_lists: int = 1 << 15) -> int:
     """Corpus-scaled list count: ~sqrt(N) (the standard IVF sizing),
-    clamped to [IVF_LISTS, 4096]. A FIXED 16 lists is a scale-killer —
+    clamped to [IVF_LISTS, max_lists]. A FIXED 16 lists is a scale-killer —
     at 1e9 vectors each list holds 62M vectors and nprobe scans are
-    effectively brute force."""
+    effectively brute force. The default ceiling 32768 admits the
+    sqrt(1e9)≈32k sizing the distributed trainer is built for; pass a
+    smaller ``max_lists`` to bound quantizer memory on small clusters."""
     import math
-    return max(IVF_LISTS, min(4096, int(round(math.sqrt(max(n_vectors, 1))))))
+    return max(IVF_LISTS,
+               min(max_lists, int(round(math.sqrt(max(n_vectors, 1))))))
 
 
 def ivf_centroids_distributed(emb: DataFrame, n_lists: int,
@@ -138,11 +141,16 @@ def ivf_centroids_distributed(emb: DataFrame, n_lists: int,
     trainer caps n_lists at what one driver can k-means; sqrt(1e9)≈32k
     lists needs cluster-side training).
 
-    Each iteration is ONE pass: broadcast centroids → per-batch numpy
-    argmin + per-list partial (count, component-sums) → tiny shuffle of
-    (list, dim) partials → new centroids on the driver. Deterministic:
-    init = lowest-id n_lists vectors, ties break to the lower list id.
-    Empty lists keep their previous centroid."""
+    Each iteration is ONE pass: broadcast centroids → numpy argmin with
+    per-PARTITION accumulation of (count, component-sum) per list (one
+    partial row per list per partition, regardless of batch count) →
+    JVM array reduce (zip_with element-wise sum over collect_list) to
+    ONE row per list → driver transfer exactly ``n_lists`` rows per
+    iteration. At the documented target (32k lists × 768 dims) that is
+    32k rows/iter, vs the ~25M (list, dim) rows of a per-dimension
+    explode. Deterministic: init = lowest-id n_lists vectors, ties
+    break to the lower list id. Empty lists keep their previous
+    centroid."""
     from pyspark.sql import types as T
     rows = emb.orderBy(id_col).limit(n_lists).select(vec_col).collect()
     cents = np.array([r[0] for r in rows], dtype=np.float64)
@@ -154,6 +162,7 @@ def ivf_centroids_distributed(emb: DataFrame, n_lists: int,
         T.StructField("cnt", T.LongType()),
         T.StructField("sums", T.ArrayType(T.DoubleType())),
     ])
+    zero = F.array_repeat(F.lit(0.0), dim)
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cents)
 
@@ -161,34 +170,31 @@ def ivf_centroids_distributed(emb: DataFrame, n_lists: int,
             import pandas as pd
             c = bc.value
             cc = (c * c).sum(axis=1)[None, :]
+            acc_cnt = np.zeros(len(c), dtype=np.int64)
+            acc_sum = np.zeros_like(c)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
                 assign = ((-2.0 * v @ c.T) + cc).argmin(axis=1)
-                out_ids, out_cnt, out_sums = [], [], []
-                for lid in np.unique(assign):
-                    sel = v[assign == lid]
-                    out_ids.append(int(lid))
-                    out_cnt.append(len(sel))
-                    out_sums.append(sel.sum(axis=0).tolist())
-                yield pd.DataFrame({"list_id": out_ids, "cnt": out_cnt,
-                                    "sums": out_sums})
+                acc_cnt += np.bincount(assign, minlength=len(c))
+                np.add.at(acc_sum, assign, v)
+            nz = np.nonzero(acc_cnt)[0]
+            yield pd.DataFrame({"list_id": nz.astype("int32"),
+                                "cnt": acc_cnt[nz],
+                                "sums": [acc_sum[i].tolist() for i in nz]})
 
         agg = (emb.select(vec_col).mapInPandas(partials, schema=schema)
-               .select("list_id", "cnt",
-                       F.posexplode("sums").alias("dim", "s"))
-               .groupBy("list_id", "dim")
-               .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
+               .groupBy("list_id")
+               .agg(F.sum("cnt").alias("cnt"),
+                    F.aggregate(F.collect_list("sums"), zero,
+                                lambda a, v: F.zip_with(
+                                    a, v, lambda x, y: x + y)).alias("sums"))
                .collect())
         new = cents.copy()
-        counts = np.zeros(n_lists)
-        sums = np.zeros((n_lists, dim))
         for r in agg:
-            sums[r["list_id"], r["dim"]] = r["s"]
-            counts[r["list_id"]] = r["cnt"]  # replicated per dim; same value
-        nz = counts > 0
-        new[nz] = sums[nz] / counts[nz, None]
+            if r["cnt"] > 0:
+                new[r["list_id"]] = np.asarray(r["sums"]) / r["cnt"]
         cents = new
         bc.destroy()
     return cents
@@ -298,10 +304,64 @@ LSH_TABLES = 2
 _TABLE_STRIDE = 101
 
 
+def lsh_plane_matrix(planes: int, dim: int, seed_off: int = 0) -> np.ndarray:
+    """(planes, dim) deterministic hyperplane matrix — the single source
+    of plane components for BOTH the JVM expression and the Arrow path."""
+    return np.array([[_plane_component(p + seed_off, i) for i in range(dim)]
+                     for p in range(planes)])
+
+
+#: above this many expression terms (planes × dim) the codegen-unrolled
+#: JVM signature stops being a win: HotSpot refuses to JIT huge generated
+#: methods (measured on this box at ~30-edge PIP expressions,
+#: spatial_join.py JVM_PIP_MAX_EDGES) and analyzer time grows linearly.
+#: 512-768-dim production embeddings × 20+ planes are 12k-18k terms —
+#: those take the one-Arrow-pass numpy matmul (the ivf_assign shape).
+LSH_JVM_MAX_TERMS = 2048
+
+
+def lsh_tagged(emb: DataFrame, dim: int, planes: int,
+               biases: "np.ndarray | None" = None, seed_off: int = 0,
+               vec_col: str = "embedding",
+               out_col: str = "bucket") -> DataFrame:
+    """``emb`` + signature column ``out_col``: JVM codegen expression for
+    small planes×dim, ONE Arrow pass (numpy matmul per batch) beyond
+    ``LSH_JVM_MAX_TERMS`` — at 768-d the expression tree alternative is
+    ~18k Column ops per table, past the JIT ceiling."""
+    if planes * dim <= LSH_JVM_MAX_TERMS:
+        return emb.withColumn(
+            out_col, lsh_signature(F.col(vec_col), dim, planes, biases,
+                                   seed_off))
+    from pyspark.sql import types as T
+    spark = emb.sparkSession
+    pm = lsh_plane_matrix(planes, dim, seed_off)
+    b = np.zeros(planes) if biases is None else np.asarray(biases)
+    bc = spark.sparkContext.broadcast((pm, b))
+    weights = (1 << np.arange(planes)).astype(np.int64)
+    schema = T.StructType(list(emb.schema.fields)
+                          + [T.StructField(out_col, T.LongType())])
+
+    def tag(batches):
+        mat, bias = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (v @ mat.T - bias[None, :]) > 0
+            pdf = pdf.copy()
+            pdf[out_col] = bits @ weights
+            yield pdf
+
+    return emb.mapInPandas(tag, schema=schema)
+
+
 def lsh_signature(vec_col, dim: int, planes: int = LSH_PLANES,
                   biases: "np.ndarray | None" = None,
                   seed_off: int = 0) -> "F.Column":
     """Bit b = sign of dot(vec, plane_b) - bias_b — a JVM expression.
+    Small-dim option only: use :func:`lsh_tagged` for the
+    dimension-aware dispatch (it switches to one Arrow matmul pass past
+    ``LSH_JVM_MAX_TERMS`` terms).
 
     ``biases`` = plane_mat @ mean_vector centers the hyperplanes on the
     data: hyperplanes through the origin split non-centered embeddings
@@ -322,18 +382,49 @@ def lsh_signature(vec_col, dim: int, planes: int = LSH_PLANES,
     return sig
 
 
+def corpus_mean(emb: DataFrame, dim: int,
+                vec_col: str = "embedding") -> np.ndarray:
+    """Mean embedding vector in one pass. Small dims use per-component
+    JVM avg aggregates; large dims use an Arrow partial-sum pass (one
+    (cnt, sums) row per partition — a dim-wide avg at 768 components is
+    768 codegen aggregate expressions, the same JIT-ceiling trap as the
+    unrolled signature)."""
+    if dim <= 64:
+        row = emb.agg(*[F.avg(F.element_at(F.col(vec_col), i + 1))
+                        .alias(f"m{i}") for i in range(dim)]).collect()[0]
+        return np.array([row[f"m{i}"] for i in range(dim)], dtype=np.float64)
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("cnt", T.LongType()),
+                           T.StructField("sums",
+                                         T.ArrayType(T.DoubleType()))])
+
+    def partial(batches):
+        import pandas as pd
+        cnt, sums = 0, np.zeros(dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cnt += len(v)
+            sums += v.sum(axis=0)
+        if cnt:
+            yield pd.DataFrame({"cnt": [cnt], "sums": [sums.tolist()]})
+
+    rows = emb.select(vec_col).mapInPandas(partial, schema=schema).collect()
+    total = sum(r["cnt"] for r in rows)
+    s = np.sum([np.asarray(r["sums"]) for r in rows], axis=0)
+    return s / max(total, 1)
+
+
 def lsh_biases(emb: DataFrame, dim: int, planes: int,
                vec_col: str = "embedding", seed_off: int = 0) -> np.ndarray:
-    """Per-plane centering biases: plane_mat @ corpus mean (one JVM
+    """Per-plane centering biases: plane_mat @ corpus mean (one
     aggregate pass; at 100 TB this is a cheap one-time statistic that
-    ships with the bucket-partitioned layout)."""
-    row = emb.agg(*[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
-                    for i in range(dim)]).collect()[0]
-    mu = np.array([row[f"m{i}"] for i in range(dim)], dtype=np.float64)
-    plane_mat = np.array([[_plane_component(p + seed_off, i)
-                           for i in range(dim)]
-                          for p in range(planes)])
-    return plane_mat @ mu
+    ships with the bucket-partitioned layout — compute once via
+    :func:`write_lsh_layout` / store and PASS INTO query calls rather
+    than recomputing per query batch)."""
+    return lsh_plane_matrix(planes, dim, seed_off) @ \
+        corpus_mean(emb, dim, vec_col)
 
 
 def _probe_sequence(dots: np.ndarray, planes: int, n_probes: int) -> list[int]:
@@ -358,7 +449,9 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     planes: int | None = None,
                     n_probes: int = 32,
-                    tables: int = LSH_TABLES) -> DataFrame:
+                    tables: int = LSH_TABLES,
+                    biases_per_table: "list[np.ndarray] | None" = None,
+                    n_vectors: int | None = None) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
     ``n_probes`` most promising LSH buckets (query-directed multiprobe)
     in each of ``tables`` independent hash tables (candidate sets
@@ -369,9 +462,18 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int = 64,
     ~log2(N/target) planes), so the probed fraction shrinks as N grows —
     at N=1e9 / 23 planes, 16 probes touch 16/8M buckets per table. Store
     the corpus bucket-partitioned (:func:`write_lsh_layout`, one layout
-    per table) so probes prune partitions instead of scanning."""
+    per table) so probes prune partitions instead of scanning.
+
+    ``biases_per_table`` / ``n_vectors``: pass the stored one-time corpus
+    statistics (per-table centering biases from :func:`lsh_biases`, the
+    corpus count) — otherwise each CALL pays ``tables`` full-corpus
+    aggregate passes (plus a count when ``planes`` is None) just to
+    rederive constants the layout already knows. Signatures dispatch via
+    :func:`lsh_tagged`: JVM codegen at small planes×dim, one Arrow
+    numpy-matmul pass at production dims (768-d × 20 planes is ~15k
+    Column ops — past the JIT ceiling — as an expression tree)."""
     if planes is None:
-        planes = auto_planes(emb.count())
+        planes = auto_planes(emb.count() if n_vectors is None else n_vectors)
     spark = emb.sparkSession
     q = emb.filter(F.col(id_col).isin(query_ids)) \
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
@@ -380,13 +482,12 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int = 64,
     cand_tables = []
     for t in range(tables):
         off = t * _TABLE_STRIDE
-        biases = lsh_biases(emb, dim, planes, vec_col, seed_off=off)
-        sig = lsh_signature(F.col(vec_col), dim, planes, biases,
-                            seed_off=off).alias("bucket")
-        tagged = emb.select(F.col(id_col), sig)
-        plane_mat = np.array([[_plane_component(p + off, i)
-                               for i in range(dim)]
-                              for p in range(planes)])
+        biases = (biases_per_table[t] if biases_per_table is not None
+                  else lsh_biases(emb, dim, planes, vec_col, seed_off=off))
+        tagged = lsh_tagged(emb.select(id_col, vec_col), dim, planes,
+                            biases, seed_off=off, vec_col=vec_col) \
+            .select(id_col, "bucket")
+        plane_mat = lsh_plane_matrix(planes, dim, off)
         probe_rows = []
         for r in qrows:
             v = np.array(r["qe"], dtype=np.float64)
@@ -416,13 +517,15 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int, dim: int = 64,
 def write_lsh_layout(emb: DataFrame, path: str, dim: int = 64,
                      planes: int = LSH_PLANES,
                      vec_col: str = "embedding",
-                     biases: "np.ndarray | None" = None) -> None:
+                     biases: "np.ndarray | None" = None,
+                     seed_off: int = 0) -> None:
     """Write the corpus partitioned by LSH bucket — probe queries then
     read only their probe buckets (partition pruning), the ANN analog of
     the cell-partitioned GOL layout. Pass the corpus' centering
-    ``biases`` (lsh_biases) and reuse them at query time."""
-    tagged = emb.withColumn(
-        "bucket", lsh_signature(F.col(vec_col), dim, planes, biases))
+    ``biases`` (lsh_biases) and reuse them at query time
+    (``lsh_bucket_topk(biases_per_table=...)``). Signature dispatches
+    JVM/Arrow via :func:`lsh_tagged`."""
+    tagged = lsh_tagged(emb, dim, planes, biases, seed_off, vec_col)
     tagged.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -434,17 +537,64 @@ def write_ivf_layout(emb: DataFrame, path: str,
     tagged.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
 
+def synth_embeddings(spark, n: int, dim: int, n_clusters: int = 32,
+                     jitter: float = 0.08, seed: int = 0x5D2F) -> DataFrame:
+    """Deterministic clustered corpus at ARBITRARY dimension — the
+    dim>=256 evidence path (the gate parquet is 64-d; production CLIP/
+    text embeddings are 512-768-d and the LSH/IVF physical plans differ
+    there: Arrow signatures, bigger codebooks). Vector components are a
+    pure function of (vec_id, component) via splitmix64-style mixing, so
+    the corpus is identical under any partitioning — no Date/random."""
+    from pyspark.sql import types as T
+
+    def mix(a: np.ndarray) -> np.ndarray:
+        z = (a.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def u01(a: np.ndarray) -> np.ndarray:
+        return (mix(a) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    centers = u01(np.arange(n_clusters * dim, dtype=np.uint64)
+                  + np.uint64(seed) * np.uint64(0x1000003)) \
+        .reshape(n_clusters, dim)
+    bc = spark.sparkContext.broadcast(centers)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+
+    def gen(batches):
+        import pandas as pd
+        c = bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            cl = (ids % n_clusters).astype(np.int64)
+            idx = (ids[:, None].astype(np.uint64) * np.uint64(dim)
+                   + np.arange(dim, dtype=np.uint64)[None, :]
+                   + np.uint64(seed))
+            v = c[cl] + jitter * (u01(idx.ravel()).reshape(len(ids), dim)
+                                  - 0.5)
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": [row.tolist() for row in v]})
+
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
 def ann_recall(emb: DataFrame, query_ids: list[int], k: int,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> DataFrame:
     """Recall@k of the approximate paths (LSH, IVF) against the exact
     brute-force baseline — the scale paths' quality metric, reported as a
-    first-class query so regressions surface in the gate."""
+    first-class query so regressions surface in the gate. ``dim`` routes
+    the LSH signature (JVM codegen vs Arrow matmul past
+    ``LSH_JVM_MAX_TERMS``)."""
     spark = emb.sparkSession
     exact = {(r["qid"], r["vec_id"])
              for r in brute_topk(emb, query_ids, k, id_col, vec_col).collect()}
     rows = []
     for method, df in (
-            ("lsh", lsh_bucket_topk(emb, query_ids, k, id_col=id_col,
+            ("lsh", lsh_bucket_topk(emb, query_ids, k, dim=dim, id_col=id_col,
                                     vec_col=vec_col)),
             ("ivf", ivf_topk(emb, query_ids, k, id_col=id_col,
                              vec_col=vec_col, nprobe=8))):

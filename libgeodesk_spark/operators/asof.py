@@ -37,24 +37,32 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     """Left as-of join (backward): every left row, plus ``payload_cols``
     from the latest right row with ``right.ts <= left.ts`` and equal
     keys (NULLs when no prior right row exists)."""
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_pay")
-    r = right.select(*key_cols, F.col(ts_col).alias("_ts"),
-                     F.lit(0).alias("_side"), payload)
+    # helper names collision-proofed against caller columns: a left table
+    # already carrying e.g. "_ts" must not alias into the union mechanics
+    salt = "a7f3"
+    while any(c.startswith(f"_{salt}") for c in set(left.columns)
+              | set(right.columns)):
+        salt += "x"
+    TS, SIDE, PAY, MATCH = (f"_{salt}_ts", f"_{salt}_side",
+                            f"_{salt}_pay", f"_{salt}_match")
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias(PAY)
+    r = right.select(*key_cols, F.col(ts_col).alias(TS),
+                     F.lit(0).alias(SIDE), payload)
     lcols = left.columns
-    l = left.select(*lcols, F.col(ts_col).alias("_ts"),
-                    F.lit(1).alias("_side"),
-                    F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"))
-    # align: right rows need the left columns (nulled) for the union
-    for c in lcols:
-        if c not in r.columns:
-            r = r.withColumn(c, F.lit(None).cast(dict(
-                (f.name, f.dataType) for f in left.schema.fields)[c]))
-    u = l.select(*lcols, "_ts", "_side", "_pay").unionByName(
-        r.select(*lcols, "_ts", "_side", "_pay"))
-    w = (Window.partitionBy(*key_cols).orderBy("_ts", "_side")
+    l = left.select(*lcols, F.col(ts_col).alias(TS),
+                    F.lit(1).alias(SIDE),
+                    F.lit(None).cast(r.schema[PAY].dataType).alias(PAY))
+    # align: right rows need the left columns (nulled) for the union —
+    # ONE select (a per-column withColumn loop costs analyzer time
+    # linearly in the left width)
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    r = r.select(*[F.col(c) if c in r.columns
+                   else F.lit(None).cast(ltypes[c]).alias(c)
+                   for c in lcols], TS, SIDE, PAY)
+    u = l.select(*lcols, TS, SIDE, PAY).unionByName(r)
+    w = (Window.partitionBy(*key_cols).orderBy(TS, SIDE)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = F.last("_pay", ignorenulls=True).over(w).alias("_match")
-    out = u.select(*lcols, "_side", carried).filter(F.col("_side") == 1)
-    for c in payload_cols:
-        out = out.withColumn(prefix + c, F.col("_match")[c])
-    return out.drop("_side", "_match")
+    carried = F.last(PAY, ignorenulls=True).over(w).alias(MATCH)
+    out = u.select(*lcols, SIDE, carried).filter(F.col(SIDE) == 1)
+    return out.select(
+        *lcols, *[F.col(MATCH)[c].alias(prefix + c) for c in payload_cols])

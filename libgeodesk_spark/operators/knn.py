@@ -278,12 +278,18 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
     """
     from pyspark.sql import Window
 
+    # defensive long cast: the round ladder shifts coordinates by up to 32
+    # bits, and the JVM masks shift amounts mod 32 for IntegerType — an
+    # int32 x would give x>>32 == x, garbage grid keys, and a silent
+    # wrong answer at the world_done round. All in-repo sources emit long
+    # x/y, but this is public API over arbitrary DataFrames.
     b_base = points.select(F.col(id_col).alias("id_b"),
-                           F.col(x_col).alias("bx"),
-                           F.col(y_col).alias("by")).cache()
+                           F.col(x_col).cast("long").alias("bx"),
+                           F.col(y_col).cast("long").alias("by")).cache()
     pending = (queries if queries is not None else points).select(
         F.col(id_col).alias("id_a"),
-        F.col(x_col).alias("ax"), F.col(y_col).alias("ay"))
+        F.col(x_col).cast("long").alias("ax"),
+        F.col(y_col).cast("long").alias("ay"))
     n_candidates = b_base.count()          # also materializes the cache
     kk = min(k, max(n_candidates - 1, 0))
     if kk == 0:

@@ -257,7 +257,9 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
 
     Physical shape: one broadcast hash join on ``cell_id`` (no shuffle of
     the fact side), then — for zone sets whose total edges fit
-    ``JVM_PIP_MAX_EDGES`` and ``jvm_pip`` (default) — a single
+    ``JVM_PIP_MAX_EDGES`` and ``jvm_pip=True`` (OPT-IN: measured ~4×
+    slower than the Arrow kernel under whole-stage codegen, see
+    JVM_PIP_MAX_EDGES note — kept for zero-Python deployments) — a single
     whole-stage-codegen filter with the locate kernel compiled to Column
     arithmetic (no Python at all). Otherwise either
 

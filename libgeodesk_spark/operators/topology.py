@@ -69,6 +69,130 @@ def connected_to(way_vertices: DataFrame, way_id,
             .select(way_col).distinct())
 
 
+def connected_to_relation(way_vertices: DataFrame, membership: DataFrame,
+                          rel_id, way_col: str = "way_id",
+                          rel_col: str = "rel_id",
+                          member_col: str = "member_id",
+                          recursive: bool = False) -> DataFrame:
+    """connectedTo for a RELATION candidate: ways sharing >= 1 exact
+    vertex with ANY way member of ``rel_id``, the relation's own members
+    excluded — the reference resolves relation candidates through their
+    members (src/filter/ConnectedFilter.cpp:60-118 collects the
+    anchor's member coordinates, then matches candidates against that
+    coordinate set).
+
+    ``recursive=True`` resolves members through the cycle-guarded
+    closure walk (:func:`members_recursive`) so superrelation anchors
+    connect through nested members too. Shape: member-id semi-join →
+    distinct vertex keys of the member set (broadcast when small) →
+    equi-join on the packed key — identical physical plan to the
+    way↔way case with a wider probe set."""
+    if recursive:
+        mids = relation_ways_recursive(membership, [rel_id],
+                                       rel_col=rel_col,
+                                       member_col=member_col) \
+            .select(F.col("member_id").alias(way_col)).distinct()
+    else:
+        mids = membership.filter(F.col(rel_col) == rel_id) \
+            .select(F.col(member_col).alias(way_col)).distinct()
+    probe = way_vertices.join(F.broadcast(mids), way_col) \
+        .select("vkey").distinct()
+    return (way_vertices.join(F.broadcast(probe), "vkey")
+            .join(mids, way_col, "left_anti")
+            .select(way_col).distinct())
+
+
+def members_recursive(membership: DataFrame, rel_ids: Sequence,
+                      rel_col: str = "rel_id",
+                      member_col: str = "member_id",
+                      type_col: str = "mtype",
+                      relation_type: str = "relation",
+                      max_depth: int = 32) -> DataFrame:
+    """Transitive members of the given relations — relations as members
+    of relations, cycle-guarded (the reference's RelatedIterator walk,
+    include/geodesk/feature/RelatedIterator.h:20-80, with the
+    RecursionGuard every recursive consumer carries,
+    include/geodesk/feature/RelationPtr.h; OSM superrelations — route
+    masters, admin hierarchies — need this on the first query).
+
+    Spark shape: BFS closure as an ITERATIVE equi-join. Each round joins
+    the frontier's relation-typed members back to the membership table,
+    then anti-joins against the (root_id, member_id) seen-set — the
+    distributed RecursionGuard: a member reached before (including through
+    a CYCLE back to any ancestor) never re-enters the frontier, so the
+    loop terminates on arbitrary cyclic graphs in <= max_depth rounds and
+    each member lands at its MINIMUM depth (BFS order). Per-round state is
+    localCheckpointed: iterative joins otherwise stack lineage and the
+    plan re-executes from scratch each round.
+
+    Output: (root_id, member_id, mtype, depth>=1) — one row per first
+    reachable (root, member); ``depth`` is the shortest member-chain
+    length. Scale: each round is one shuffle join frontier×membership +
+    one anti-join; the frontier shrinks to relation-typed fan-out only,
+    and real member forests are depth <=10 (the cap is a guard, not a
+    budget). Raises if max_depth rounds leave an unexhausted frontier.
+    """
+    memb = membership.select(F.col(rel_col).alias("_rid"),
+                             F.col(member_col).alias("member_id"),
+                             F.col(type_col).alias("mtype"))
+    frontier = (memb.filter(F.col("_rid").isin(list(rel_ids)))
+                .select(F.col("_rid").alias("root_id"), "member_id", "mtype",
+                        F.lit(1).alias("depth"))
+                .distinct().localCheckpoint(eager=True))
+    seen = frontier
+    for depth in range(2, max_depth + 1):
+        rels = frontier.filter(F.col("mtype") == relation_type) \
+            .select("root_id", F.col("member_id").alias("_rid"))
+        if rels.isEmpty():
+            return seen
+        nxt = (rels.join(memb, "_rid")
+               .select("root_id", "member_id", "mtype",
+                       F.lit(depth).alias("depth"))
+               .distinct()
+               .join(seen.select("root_id", "member_id"),
+                     ["root_id", "member_id"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            return seen
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not frontier.filter(F.col("mtype") == relation_type).isEmpty():
+        raise RuntimeError(
+            f"members_recursive: frontier not exhausted after "
+            f"max_depth={max_depth} rounds — raise max_depth")
+    return seen
+
+
+def relation_ways_recursive(membership: DataFrame, rel_ids: Sequence,
+                            way_type: str = "way", **kw) -> DataFrame:
+    """(root_id, member_id) for every WAY member transitively reachable
+    from ``rel_ids`` — the resolution step relation length/area/centroid
+    aggregate through (the reference computes relation geometry over the
+    recursive member walk: src/geom/Length.cpp:29-58 iterates members
+    depth-first under a RecursionGuard; Area/Centroid likewise)."""
+    return (members_recursive(membership, rel_ids, **kw)
+            .filter(F.col("mtype") == way_type)
+            .select("root_id", "member_id"))
+
+
+def relation_length_recursive(membership: DataFrame, ways: DataFrame,
+                              rel_ids: Sequence,
+                              way_id: str = "way_id",
+                              length_col=None, **kw) -> DataFrame:
+    """Relation length through the RECURSIVE member walk (G2 for nested
+    relations): Σ length of every transitively-reachable way member,
+    each counted once per root (cycle-guarded dedup upstream). Pass
+    ``length_col`` as a Column over ``ways`` (default: way_length_cm of
+    ``ring``)."""
+    from libgeodesk_spark.functions.geometry import way_length_cm
+    lc = length_col if length_col is not None \
+        else way_length_cm(F.col("ring"))
+    wl = ways.select(F.col(way_id).alias("member_id"), lc.alias("_len"))
+    closure = relation_ways_recursive(membership, rel_ids, **kw)
+    return (closure.join(wl, "member_id")
+            .groupBy("root_id").agg(F.sum("_len").alias("length_cm")))
+
+
 def nodes_of(ways: DataFrame, feature_nodes: DataFrame,
              way_col: str = "way_id", ring_col: str = "ring",
              node_id: str = "node_id") -> DataFrame:

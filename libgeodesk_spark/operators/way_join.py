@@ -487,6 +487,36 @@ def rel_intersects(members: DataFrame, zones: list[PreparedZone],
             .select(rel_col, "zone_id").distinct())
 
 
+def way_crossing(ways: DataFrame, zone: PreparedZone | list[PreparedZone],
+                 ring_col: str = "ring", id_col: str = "way_id",
+                 join_zoom: int | None = None) -> DataFrame:
+    """WHOLE-WAY crossing: ways with >= 1 segment crossing a zone edge —
+    the reference's CrossesFilter accepts any feature
+    (src/filter/CrossesFilter.cpp:10-41); ``crossing_segments`` is the
+    segment-table primitive, this wrapper closes the fluent-API symmetry
+    with way_within/way_intersects.
+
+    Shape: JVM explode of consecutive-vertex segments (no Python), then
+    the cover-pruned crossing kernel (only segments whose bbox touches a
+    BOUNDARY cover cell pay Arrow), then distinct way ids. One row per
+    (way[, zone])."""
+    from libgeodesk_spark.operators.spatial_join import crossing_segments
+    zones = zone if isinstance(zone, list) else [zone]
+    seg = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(ring_col) - 1),
+        lambda i: F.struct(
+            F.element_at(ring_col, i)["x"].alias("x1"),
+            F.element_at(ring_col, i)["y"].alias("y1"),
+            F.element_at(ring_col, i + 1)["x"].alias("x2"),
+            F.element_at(ring_col, i + 1)["y"].alias("y2"))))
+    segs = ways.select(F.col(id_col), seg.alias("s")) \
+        .select(id_col, "s.x1", "s.y1", "s.x2", "s.y2")
+    hit = crossing_segments(segs, zones, join_zoom=join_zoom)
+    if len(zones) == 1:
+        return hit.select(id_col).distinct()
+    return hit.select(id_col, "zone_id").distinct()
+
+
 def way_max_meters_from(ways: DataFrame, meters: float, qx: int, qy: int,
                         ring_col: str = "ring", id_col: str = "way_id",
                         is_area_col: str = "is_area") -> DataFrame:

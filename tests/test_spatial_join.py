@@ -276,3 +276,17 @@ class TestKnnJoin:
         # k larger than corpus: every point still gets n-1 neighbors
         full = knn_join(df, 10).toPandas()
         assert len(full) == 4 * 3
+
+    def test_int32_coordinates(self, spark):
+        """knn_join over IntegerType x/y must equal the LongType result:
+        the round ladder shifts by up to 32 bits and the JVM masks shift
+        amounts mod 32 for ints (x >> 32 == x) — the operator casts
+        defensively at entry, so arbitrary caller schemas are safe."""
+        rows = [(i, (i * 7919) % 3000, (i * 104729) % 3000)
+                for i in range(40)]
+        as_long = spark.createDataFrame(rows, "pid long, x long, y long")
+        as_int = spark.createDataFrame(rows, "pid long, x int, y int")
+        from libgeodesk_spark.operators.knn import knn_join
+        want = sorted(map(tuple, knn_join(as_long, 2).collect()))
+        got = sorted(map(tuple, knn_join(as_int, 2).collect()))
+        assert got == want

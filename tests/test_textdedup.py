@@ -190,7 +190,53 @@ class TestAnn:
         from libgeodesk_spark.operators.ann import auto_lists
         assert auto_lists(100) == 16          # floor
         assert auto_lists(1_000_000) == 1000  # sqrt(N)
-        assert auto_lists(10**9) == 4096      # cap
+        assert auto_lists(10**9) == 31623     # ~sqrt(1e9), under the 32k cap
+        assert auto_lists(10**12) == 1 << 15  # default cap
+        assert auto_lists(10**9, max_lists=4096) == 4096  # explicit bound
+
+    def test_lsh_tagged_arrow_matches_jvm(self, spark):
+        """The Arrow (numpy matmul) signature path must produce bucket-
+        identical signatures to the JVM expression path — same planes,
+        same biases, any dim. Forced by monkeying the dispatch threshold."""
+        import numpy as np
+
+        from libgeodesk_spark.operators import ann
+        from libgeodesk_spark.operators.ann import (
+            lsh_biases, lsh_tagged, synth_embeddings)
+        emb = synth_embeddings(spark, 300, 32)
+        b = lsh_biases(emb, 32, 8)
+        jvm = lsh_tagged(emb, 32, 8, b).select("vec_id", "bucket").toPandas()
+        old = ann.LSH_JVM_MAX_TERMS
+        try:
+            ann.LSH_JVM_MAX_TERMS = 0          # force the Arrow path
+            arrow = lsh_tagged(emb, 32, 8, b) \
+                .select("vec_id", "bucket").toPandas()
+        finally:
+            ann.LSH_JVM_MAX_TERMS = old
+        j = jvm.sort_values("vec_id").reset_index(drop=True)
+        a = arrow.sort_values("vec_id").reset_index(drop=True)
+        assert (j["bucket"].to_numpy() == a["bucket"].to_numpy()).all()
+        assert len(np.unique(j["bucket"])) > 1
+
+    def test_synth_embeddings_deterministic(self, spark):
+        from libgeodesk_spark.operators.ann import synth_embeddings
+        a = synth_embeddings(spark, 100, 16).orderBy("vec_id").toPandas()
+        b = synth_embeddings(spark.range(0).sparkSession, 100, 16) \
+            .repartition(7).orderBy("vec_id").toPandas()
+        import numpy as np
+        assert np.array_equal(np.stack(a["embedding"].to_numpy()),
+                              np.stack(b["embedding"].to_numpy()))
+
+    def test_recall_dim256(self, spark):
+        """High-dim evidence: at dim=256 the LSH path runs the Arrow
+        signature (256 x >=4 planes > LSH_JVM_MAX_TERMS threshold once
+        planes scale) and recall against brute force stays useful."""
+        from libgeodesk_spark.operators.ann import ann_recall, synth_embeddings
+        emb = synth_embeddings(spark, 1500, 256)
+        rec = {r["method"]: r["recall_pct"]
+               for r in ann_recall(emb, self.QIDS, 10, dim=256).collect()}
+        assert rec["lsh"] >= 70, rec
+        assert rec["ivf"] >= 70, rec
 
 
 class TestPipeline:

@@ -56,6 +56,90 @@ class TestTopology:
         assert sorted(r.way_id for r in
                       parent_ways_of_vertex(wv, 10, 10).collect()) == ["w1", "w2"]
 
+    NESTED = [
+        # (rel_id, member_id, mtype): r1 -> {w10, r2}; r2 -> {w20, r3};
+        # r3 -> {w30, r1 (CYCLE back to the root)}; r4 isolated.
+        (1, 10, "way"), (1, 2, "relation"),
+        (2, 20, "way"), (2, 3, "relation"),
+        (3, 30, "way"), (3, 1, "relation"),
+        (4, 40, "way"),
+    ]
+
+    def test_members_recursive_with_cycle(self, spark):
+        """The RelatedIterator walk with a RecursionGuard: a 3-cycle of
+        relations must terminate, every transitive member lands once at
+        its minimum BFS depth, and the cycle edge back to the root is
+        recorded as a member row but never re-expanded."""
+        from libgeodesk_spark.operators.topology import members_recursive
+        memb = spark.createDataFrame(
+            self.NESTED, "rel_id long, member_id long, mtype string")
+        got = sorted(map(tuple, members_recursive(memb, [1]).collect()))
+        assert got == sorted([
+            (1, 10, "way", 1), (1, 2, "relation", 1),
+            (1, 20, "way", 2), (1, 3, "relation", 2),
+            (1, 30, "way", 3), (1, 1, "relation", 3),  # cycle edge, guarded
+        ])
+        # multiple roots walk independently; the isolated relation is flat
+        got4 = members_recursive(memb, [4]).collect()
+        assert [tuple(r) for r in got4] == [(4, 40, "way", 1)]
+
+    def test_members_recursive_depth_guard(self, spark):
+        from libgeodesk_spark.operators.topology import members_recursive
+        memb = spark.createDataFrame(
+            self.NESTED, "rel_id long, member_id long, mtype string")
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="max_depth"):
+            members_recursive(memb, [1], max_depth=2)
+
+    def test_relation_length_recursive(self, spark):
+        """G2 through the closure: nested relation length = Σ over ALL
+        transitively-reachable way members (flat one-level aggregation
+        would miss w20/w30)."""
+        from libgeodesk_spark.functions.geometry import way_length_cm
+        from libgeodesk_spark.operators.topology import (
+            relation_length_recursive, relation_ways_recursive)
+        memb = spark.createDataFrame(
+            self.NESTED, "rel_id long, member_id long, mtype string")
+        ways = spark.createDataFrame(
+            [(w, [(0, 0), (w * 1000, 0)]) for w in (10, 20, 30, 40)],
+            "way_id long, ring array<struct<x: long, y: long>>")
+        closure = relation_ways_recursive(memb, [1, 4]).collect()
+        assert sorted((r.root_id, r.member_id) for r in closure) == \
+            [(1, 10), (1, 20), (1, 30), (4, 40)]
+        got = {r.root_id: r.length_cm for r in
+               relation_length_recursive(memb, ways, [1, 4]).collect()}
+        per_way = {r.way_id: r.l for r in ways.select(
+            "way_id", way_length_cm(F.col("ring")).alias("l")).collect()}
+        assert got[1] == per_way[10] + per_way[20] + per_way[30]
+        assert got[4] == per_way[40]
+
+    def test_connected_to_relation(self, spark):
+        """Relation-anchored connectedTo (ConnectedFilter.cpp:60-118):
+        candidates sharing a vertex with any member way accept; the
+        relation's own members are excluded; recursive=True reaches
+        vertices of NESTED members."""
+        from libgeodesk_spark.functions.cells import vertex_key
+        from libgeodesk_spark.operators.topology import connected_to_relation
+        memb = spark.createDataFrame(
+            [(100, 1, "way"), (100, 101, "relation"), (101, 2, "way")],
+            "rel_id long, member_id long, mtype string")
+        rows = [  # way 1 touches candidate 7; nested way 2 touches 8;
+            (1, 0, 0), (1, 10, 10),
+            (2, 50, 50), (2, 60, 60),
+            (7, 10, 10), (7, 30, 0),
+            (8, 60, 60), (8, 90, 0),
+            (9, 500, 500), (9, 501, 501),
+        ]
+        wv = spark.createDataFrame(rows, "way_id long, x long, y long") \
+            .withColumn("vkey", vertex_key(F.col("x"), F.col("y")))
+        flat = sorted(r.way_id for r in
+                      connected_to_relation(wv, memb, 100).collect())
+        assert flat == [7]
+        rec = sorted(r.way_id for r in
+                     connected_to_relation(wv, memb, 100,
+                                           recursive=True).collect())
+        assert rec == [7, 8]
+
 
 class TestStreaming:
     def test_stream_cell_assign_matches_batch(self, spark, sf_dir, tmp_path):

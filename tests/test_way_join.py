@@ -68,6 +68,31 @@ def test_way_intersects(ways, zone):
                    "inside_area", "inside_line", "partial", "touching_corner"]
 
 
+def test_way_crossing(ways, zone):
+    """Whole-way crossing wrapper (CrossesFilter.cpp:10-41): ways with a
+    segment PROPERLY crossing or touching a zone edge — fully-inside and
+    fully-outside ways never accept; the sticking-out 'partial' way and
+    rings whose edges run along/touch the boundary do."""
+    from libgeodesk_spark.operators.way_join import way_crossing
+    got = ids(way_crossing(ways, zone))
+    assert "partial" in got            # genuinely crosses the boundary
+    assert "inside_area" not in got    # no segment meets an edge
+    assert "inside_line" not in got
+    assert "outside" not in got
+    # brute-force mirror over every (way segment, zone edge)
+    from libgeodesk_spark.geom import kernel as K
+    rows = ways.collect()
+    want = set()
+    for r in rows:
+        ring = [(p["x"], p["y"]) for p in r["ring"]]
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            if K.any_segment_crosses(
+                    np.array([x1]), np.array([y1]), np.array([x2]),
+                    np.array([y2]), zone.edges)[0]:
+                want.add(r["way_id"])
+    assert got == sorted(want)
+
+
 # --- round 2: cover-join engine vs brute force ------------------------------
 
 import numpy as np
