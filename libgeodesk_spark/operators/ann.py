@@ -312,12 +312,15 @@ def lsh_plane_matrix(planes: int, dim: int, seed_off: int = 0) -> np.ndarray:
 
 
 #: above this many expression terms (planes × dim) the codegen-unrolled
-#: JVM signature stops being a win: HotSpot refuses to JIT huge generated
-#: methods (measured on this box at ~30-edge PIP expressions,
-#: spatial_join.py JVM_PIP_MAX_EDGES) and analyzer time grows linearly.
-#: 512-768-dim production embeddings × 20+ planes are 12k-18k terms —
-#: those take the one-Arrow-pass numpy matmul (the ivf_assign shape).
-LSH_JVM_MAX_TERMS = 2048
+#: JVM signature stops being a win: MEASURED on this box, 4 planes × 256
+#: dims (1024 terms) already blows janino's 64 KB method limit ("Code
+#: grows beyond 64 KB" → whole-stage codegen falls back to the
+#: interpreted path), and HotSpot refuses to JIT huge generated methods
+#: well before that (spatial_join.py JVM_PIP_MAX_EDGES). 512 keeps the
+#: 64-d gate corpus (≤8 planes) on the JVM expression; 512-768-dim
+#: production embeddings take the one-Arrow-pass numpy matmul (the
+#: ivf_assign shape).
+LSH_JVM_MAX_TERMS = 512
 
 
 def lsh_tagged(emb: DataFrame, dim: int, planes: int,

@@ -136,31 +136,48 @@ def knn_batch(points: DataFrame, queries: list[tuple], k: int,
               max_rings: int = 64) -> DataFrame:
     """Exact kNN for MANY query points in one Spark job.
 
-    queries = [(qid, qx, qy), ...]. Driver enumerates each query's cell
-    rings (tiny), broadcast-joins (cell_id, qid) against the points, ranks
-    by exact integer distance, and verifies the ring-expansion guarantee
-    per query: if any query's k-th distance can be beaten outside its
-    explored rings, those queries re-run with a wider radius. One shuffle
-    (the window) over candidate rows only; the candidate scan is
-    cell-IN-pruned. Results identical to per-query :func:`knn`.
+    queries = [(qid, qx, qy), ...]. The per-query covered cell box
+    (rings 0..r, grid-clamped) is generated as COLUMN MATH — a double
+    ``sequence``/``explode`` over the pending-query frame, entirely
+    JVM-side — then broadcast-joined (cell_id, qid) against the points
+    and ranked by exact integer distance. The driver holds one
+    (qx, qy) pair per pending query and its per-iteration work is the
+    O(|pending|) stop test, NEVER the O(|pending|·(2r+1)²) cell
+    enumeration (at the 10⁵ concurrent queries this operator targets,
+    a Python ring loop built millions of rows per round). The
+    ring-expansion guarantee is verified per query; unresolved queries
+    re-run with a doubled radius. One shuffle (the window) over
+    candidate rows only; the candidate scan is cell-IN-pruned. Results
+    identical to per-query :func:`knn`.
     """
     import pandas as pd
     from pyspark.sql import Window
 
     spark = points.sparkSession
-    pending = {qid: (int(qx), int(qy)) for qid, qx, qy in queries}
+    pending = {str(qid): (int(qx), int(qy)) for qid, qx, qy in queries}
+    n_grid = 1 << zoom
+    shift = 32 - zoom
     out_frames = []
     r = start_r
     while pending and r <= max_rings:
-        rows = []
-        for qid, (qx, qy) in pending.items():
-            qcol = int(col_from_x(qx, zoom))
-            qrow = int(row_from_y(qy, zoom))
-            for rr in range(r + 1):
-                for c in _ring_cells(qcol, qrow, rr, zoom):
-                    rows.append((qid, c, qx, qy))
-        qcells = spark.createDataFrame(
-            pd.DataFrame(rows, columns=["qid", cell_col, "qx", "qy"]))
+        qdf = spark.createDataFrame(
+            [(qid, qx, qy) for qid, (qx, qy) in pending.items()],
+            "qid string, qx long, qy long")
+        qcol = F.shiftright(F.col("qx") + F.lit(1 << 31), shift)
+        qrow = F.shiftright(F.lit(0x7FFFFFFF) - F.col("qy"), shift)
+        cseq = F.sequence(F.greatest(qcol - r, F.lit(0)),
+                          F.least(qcol + r, F.lit(n_grid - 1)))
+        rseq = F.sequence(F.greatest(qrow - r, F.lit(0)),
+                          F.least(qrow + r, F.lit(n_grid - 1)))
+        qcells = (qdf.select("qid", "qx", "qy", cseq.alias("_cs"),
+                             rseq.alias("_rs"))
+                  .select("qid", "qx", "qy",
+                          F.explode("_cs").alias("_c"), "_rs")
+                  .select("qid", "qx", "qy", "_c",
+                          F.explode("_rs").alias("_r"))
+                  .select("qid", "qx", "qy",
+                          (F.lit(zoom << 24) + F.shiftleft(F.col("_r"), 12)
+                           + F.col("_c")).alias(cell_col)))
         dx = F.col(x_col).cast("long") - F.col("qx")
         dy = F.col(y_col).cast("long") - F.col("qy")
         w = Window.partitionBy("qid").orderBy("sq_dist", id_col)

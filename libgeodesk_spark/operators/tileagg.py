@@ -163,10 +163,24 @@ def synth_reencode_metrics(points: DataFrame) -> DataFrame:
         .groupBy("cell_id", "salt").applyInPandas(agg, schema=METRICS_SCHEMA)
 
 
-def mosaic_tiles(images: DataFrame, tile_px: int = 64) -> DataFrame:
+def mosaic_tiles(images: DataFrame, tile_px: int = 64,
+                 salt_hot: bool = False) -> DataFrame:
     """Vector→raster: render one raster per cell by averaging the decoded
     pixels of all images in the cell into a tile_px × tile_px canvas placed
     by each image's in-cell position. Returns (cell_id, n_images, tile_png).
+
+    ``salt_hot=True`` is the skew path: the per-pixel (sum, count)
+    accumulators are ASSOCIATIVE, so the hot cell's images split into
+    ``salt`` sub-groups rendered in parallel, then one tiny second
+    aggregation merges the per-salt canvases per cell (output bytes are
+    per-salt sums+counts, two f64 planes — KBs per cell, vs the images'
+    MBs; the measured hot cell at sf0.1 holds 456k images in ONE group
+    without it, serializing the whole stage behind a single task).
+    The merge only reassociates the float accumulation, so salted and
+    unsalted agree to summation order — byte-identical on the gate
+    fixture (test-asserted); in pathological cases reassociation can
+    move one averaged channel by 1 ulp across a rounding boundary.
+    ``n_images`` is integer-exact either way.
     """
     out_schema = T.StructType([
         T.StructField("cell_id", T.LongType(), False),
@@ -174,7 +188,7 @@ def mosaic_tiles(images: DataFrame, tile_px: int = 64) -> DataFrame:
         T.StructField("tile_png", T.BinaryType(), False),
     ])
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+    def accumulate(pdf: pd.DataFrame):
         from libgeodesk_spark.mercator import cell_bounds
         cell = int(pdf["cell_id"].iloc[0])
         mnx, mny, _, _ = cell_bounds(cell)
@@ -187,11 +201,43 @@ def mosaic_tiles(images: DataFrame, tile_px: int = 64) -> DataFrame:
             gy = min(int((int(y) - mny) * tile_px / extent), tile_px - 1)
             acc[gy, gx] += px.mean(axis=(0, 1))
             cnt[gy, gx] += 1
-        avg = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0).astype(np.uint8)
-        return pd.DataFrame([{
-            "cell_id": cell,
-            "n_images": len(pdf),
-            "tile_png": codec.encode(avg, "png"),
-        }])
+        return cell, acc, cnt
 
-    return images.groupBy("cell_id").applyInPandas(render, schema=out_schema)
+    def finish(cell: int, n: int, acc, cnt) -> dict:
+        avg = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0).astype(np.uint8)
+        return {"cell_id": cell, "n_images": n,
+                "tile_png": codec.encode(avg, "png")}
+
+    if not salt_hot:
+        def render(pdf: pd.DataFrame) -> pd.DataFrame:
+            cell, acc, cnt = accumulate(pdf)
+            return pd.DataFrame([finish(cell, len(pdf), acc, cnt)])
+
+        return images.groupBy("cell_id").applyInPandas(
+            render, schema=out_schema)
+
+    part_schema = T.StructType([
+        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("n_images", T.LongType(), False),
+        T.StructField("acc", T.BinaryType(), False),
+        T.StructField("cnt", T.BinaryType(), False),
+    ])
+
+    def render_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell, acc, cnt = accumulate(pdf)
+        return pd.DataFrame([{"cell_id": cell, "n_images": len(pdf),
+                              "acc": acc.tobytes(), "cnt": cnt.tobytes()}])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((tile_px, tile_px, 3), dtype=np.float64)
+        cnt = np.zeros((tile_px, tile_px, 1), dtype=np.float64)
+        for a, c in zip(pdf["acc"], pdf["cnt"]):
+            acc += np.frombuffer(a, dtype=np.float64).reshape(acc.shape)
+            cnt += np.frombuffer(c, dtype=np.float64).reshape(cnt.shape)
+        return pd.DataFrame([finish(int(pdf["cell_id"].iloc[0]),
+                                    int(pdf["n_images"].sum()), acc, cnt)])
+
+    partials = images.groupBy("cell_id", "salt").applyInPandas(
+        render_partial, schema=part_schema)
+    return partials.groupBy("cell_id").applyInPandas(
+        merge, schema=out_schema)

@@ -118,9 +118,25 @@ class SnapshotTable:
             out.append(ent)
         return out
 
+    def commit_tags(self) -> set[str]:
+        """Idempotence tags of every published snapshot (the Iceberg
+        streaming-sink contract: each snapshot summary records the
+        (queryId, epochId) that produced it, and a replayed epoch is
+        skipped when its tag is already present)."""
+        out = set()
+        for v in range(1, self.current_version() + 1):
+            try:
+                tag = self.manifest(v).get("tag")
+            except FileNotFoundError:
+                continue
+            if tag:
+                out.add(tag)
+        return out
+
     def commit(self, df: DataFrame, mode: str = "append",
                expected_base: int | None = None,
-               zorder_by: tuple[str, str] | None = None) -> int:
+               zorder_by: tuple[str, str] | None = None,
+               tag: str | None = None) -> int:
         """Publish ``df`` as the next snapshot; returns its version.
 
         ``mode='append'`` keeps prior files; ``'overwrite'`` replaces the
@@ -174,7 +190,8 @@ class SnapshotTable:
         prior = self.manifest(base)["files"] if mode == "append" else []
         version = base + 1
         manifest = {"version": version, "base": base, "mode": mode,
-                    "commit_id": commit_id, "files": prior + entries}
+                    "commit_id": commit_id, "files": prior + entries,
+                    "tag": tag}
         # immutable, commit-unique manifest file — concurrent writers on
         # the same version write DIFFERENT files, so nothing to race on
         with open(self._manifest_path(version, commit_id), "w") as f:

@@ -410,6 +410,20 @@ def rel_intersects_sql(rings: list[list[tuple[int, int]]]) -> str:
     """
 
 
+def way_crossing_sql(rings: list[list[tuple[int, int]]]) -> str:
+    """Whole-way crossing oracle (CrossesFilter semantics over stored
+    ways): a way accepts iff ANY consecutive-vertex segment intersects
+    any zone edge — the DISTINCT way_id projection of the segment
+    crossing test."""
+    cond = segments_intersect_sql(
+        ("s.x1", "s.y1", "s.x2", "s.y2"), ("e.ax", "e.ay", "e.bx", "e.by"))
+    return f"""
+    {points_cte()}, {ways_vertices_sql()}, {_way_seg_sql()}
+    SELECT DISTINCT s.way_id
+    FROM seg s JOIN {zone_edges_values_sql(rings)} ON {cond}
+    """
+
+
 def way_distance_sql(qx: int, qy: int, d2_limit: float) -> str:
     """maxMetersFrom for linestring ways: min point-segment squared
     distance STRICTLY below d2_limit (PointDistanceFilter.cpp:25-47,

@@ -92,6 +92,49 @@ def stream_first_seen(stream: DataFrame, key_col: str = "phash",
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def snapshot_batch_committer(table, query_name: str = "ingest"):
+    """foreachBatch callback committing each micro-batch into a
+    SnapshotTable EXACTLY ONCE across restarts.
+
+    foreachBatch alone is at-least-once: a crash after the sink commit
+    but before the checkpoint records epoch completion replays the same
+    (batch_df, epoch_id) on restart. The committer closes that window
+    the way Iceberg's streaming sink does (snapshot summary records the
+    (queryId, epochId); a replayed epoch whose tag already exists in a
+    published snapshot is skipped) — the reference analog is the
+    putTile page swap keyed by tile status, which makes a re-run of an
+    already-committed tile a no-op
+    (FeatureStore_Transaction.cpp:99-112). Concurrent writers: CAS
+    conflicts retry on the new base, rechecking the tag each time."""
+    from libgeodesk_spark.sources.catalog import CommitConflict
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        tag = f"{query_name}:{epoch_id}"
+        while True:
+            if tag in table.commit_tags():
+                return                      # replayed epoch: already live
+            try:
+                table.commit(batch_df, tag=tag)
+                return
+            except CommitConflict:
+                continue                    # lost the CAS race — retry
+
+    return commit_batch
+
+
+def stream_to_snapshot(stream: DataFrame, table, checkpoint_dir: str,
+                       query_name: str = "ingest"):
+    """readStream → SnapshotTable: lands each micro-batch as one atomic
+    snapshot commit (append), exactly-once across restarts via
+    :func:`snapshot_batch_committer`. availableNow trigger — the batch
+    ingest shape; drop the trigger for continuous ingest."""
+    return (stream.writeStream
+            .foreachBatch(snapshot_batch_committer(table, query_name))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_range_join(left: DataFrame, right: DataFrame, key_col: str,
                       ts_col: str = "ts", window: str = "1 hour",
                       watermark: str = "35 days") -> DataFrame:

@@ -189,3 +189,70 @@ class TestSnapshotTable:
         # the conflicting attempt cleaned up its own manifest
         assert len(glob.glob(os.path.join(tbl.path,
                                           "manifest-1-*.json"))) == 2
+
+
+class TestStreamToSnapshot:
+    def test_two_epochs_and_replay_are_exactly_once(self, spark, tbl,
+                                                    tmp_path):
+        """Streaming micro-batches land as atomic snapshot commits; a
+        REPLAYED epoch (the foreachBatch at-least-once window: sink
+        committed, checkpoint didn't record) is a no-op — the
+        (query, epoch) tag in the manifest dedupes it, Iceberg
+        streaming-sink style."""
+        from libgeodesk_spark.streaming.ingest import (
+            snapshot_batch_committer, stream_to_snapshot)
+        src = str(tmp_path / "src")
+        _mk(spark, 0, 60).write.parquet(src + "/b1")
+        stream = spark.readStream.schema("pid long, cell_id long") \
+            .parquet(src + "/*")
+        q = stream_to_snapshot(stream, tbl, str(tmp_path / "ck"),
+                               query_name="t")
+        q.awaitTermination(300)
+        v_after_1 = tbl.current_version()
+        assert tbl.read(spark).count() == 60
+
+        _mk(spark, 60, 90).write.parquet(src + "/b2")
+        stream2 = spark.readStream.schema("pid long, cell_id long") \
+            .parquet(src + "/*")
+        q2 = stream_to_snapshot(stream2, tbl, str(tmp_path / "ck"),
+                                query_name="t")
+        q2.awaitTermination(300)
+        assert tbl.read(spark).count() == 90
+        last_epoch_version = tbl.current_version()
+        assert last_epoch_version > v_after_1
+
+        # simulate the restart replay of the LAST epoch: same data, same
+        # epoch id, tag already published -> must not commit again
+        commit = snapshot_batch_committer(tbl, query_name="t")
+        replay_epoch = max(int(t.split(":")[1]) for t in tbl.commit_tags())
+        commit(_mk(spark, 60, 90), replay_epoch)
+        assert tbl.current_version() == last_epoch_version
+        assert tbl.read(spark).count() == 90
+        # rows exactly once, values intact
+        got = sorted((r.pid, r.cell_id) for r in tbl.read(spark).collect())
+        assert got == sorted((i, i * 7 % 100) for i in range(90))
+
+    def test_committer_retries_cas_conflict(self, spark, tbl):
+        """A concurrent writer stealing the version between read and
+        publish surfaces as CommitConflict — the committer retries on
+        the new base and lands exactly once."""
+        from libgeodesk_spark.sources import catalog as cat
+        from libgeodesk_spark.streaming.ingest import snapshot_batch_committer
+        real_commit = cat.SnapshotTable.commit
+        state = {"raced": False}
+
+        def racing_commit(self, df, *a, **kw):
+            if not state["raced"]:
+                state["raced"] = True
+                real_commit(self, _mk(spark, 1000, 1010), tag="rival:0")
+                raise cat.CommitConflict("stolen")
+            return real_commit(self, df, *a, **kw)
+
+        cat.SnapshotTable.commit = racing_commit
+        try:
+            snapshot_batch_committer(tbl, "t")(_mk(spark, 0, 5), 0)
+        finally:
+            cat.SnapshotTable.commit = real_commit
+        assert state["raced"]
+        assert "t:0" in tbl.commit_tags()
+        assert tbl.read(spark).count() == 15

@@ -277,6 +277,23 @@ class TestKnnJoin:
         full = knn_join(df, 10).toPandas()
         assert len(full) == 4 * 3
 
+    def test_knn_batch_matches_per_query_knn(self, spark, points):
+        """knn_batch (JVM-generated candidate cell boxes) must equal the
+        per-query ring-expansion knn for every query, including one far
+        from all data (forces several radius-doubling rounds and the
+        grid-clamped box)."""
+        from libgeodesk_spark.operators.knn import knn, knn_batch
+        qs = [("qa", 90_500_000, 642_500_000),
+              ("qb", 94_001_000, 643_001_000),
+              ("qfar", 110_000_000, 630_000_000)]  # ~15 cells out: several
+        #                                            doubling rounds
+        batch = knn_batch(points, qs, 7).toPandas()
+        for qid, qx, qy in qs:
+            got = batch[batch.qid == qid].sort_values("rank")
+            want = knn(points, qx, qy, 7).toPandas()
+            assert got["image_id"].tolist() == want["image_id"].tolist(), qid
+            assert got["sq_dist"].tolist() == want["sq_dist"].tolist(), qid
+
     def test_int32_coordinates(self, spark):
         """knn_join over IntegerType x/y must equal the LongType result:
         the round ladder shifts by up to 32 bits and the JVM masks shift

@@ -106,6 +106,22 @@ class TestTileAgg:
         px, fmt = codec.decode(bytes(tiles.iloc[0].tile_png))
         assert fmt == "png" and px.shape == (64, 64, 3)
 
+    def test_mosaic_salted_matches_unsalted(self, images):
+        """The skew path: per-salt partial canvases merged by the
+        associative (sum, count) accumulators must reproduce the
+        single-group render byte-for-byte on the gate fixture — the hot
+        cell renders across tasks instead of serializing into one."""
+        from libgeodesk_spark.operators.tileagg import mosaic_tiles
+        sub = images.filter("cell_id % 7 = 0")
+        plain = mosaic_tiles(sub).toPandas() \
+            .sort_values("cell_id").reset_index(drop=True)
+        salted = mosaic_tiles(sub, salt_hot=True).toPandas() \
+            .sort_values("cell_id").reset_index(drop=True)
+        assert plain["cell_id"].tolist() == salted["cell_id"].tolist()
+        assert plain["n_images"].tolist() == salted["n_images"].tolist()
+        assert all(bytes(a) == bytes(b) for a, b in
+                   zip(plain["tile_png"], salted["tile_png"]))
+
 
 class TestLineage:
     def test_resume_after_failure(self, spark, images, tmp_path):
