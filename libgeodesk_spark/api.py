@@ -206,3 +206,61 @@ class Features:
         from libgeodesk_spark.operators.geomops import cell_hulls
         return cell_hulls(self._df, id_col=cell_col,
                           x_col=self._x, y_col=self._y)
+
+
+class Ways:
+    """Fluent view over a WAY table (way_id, ring: array<struct<x,y>>,
+    is_area) — the reference's Features surface applied to way/relation
+    candidates (FeaturesBase works over all feature types; this wrapper
+    routes to the way-candidate joins of operators/way_join.py). Every
+    call returns a new immutable view; nothing materializes until a
+    terminal op on ``.df``."""
+
+    def __init__(self, df: DataFrame, way_id: str = "way_id",
+                 ring: str = "ring", is_area: str = "is_area"):
+        self._df = df
+        self._id, self._ring, self._area = way_id, ring, is_area
+
+    def _wrap(self, df: DataFrame) -> "Ways":
+        return Ways(df, self._id, self._ring, self._area)
+
+    def _ids(self, ids_df: DataFrame) -> "Ways":
+        return self._wrap(self._df.join(
+            F.broadcast(ids_df.select(self._id).distinct()), self._id))
+
+    def within(self, zone: PreparedZone) -> "Ways":
+        from libgeodesk_spark.operators.way_join import way_within
+        return self._ids(way_within(self._df, zone, ring_col=self._ring,
+                                    id_col=self._id,
+                                    is_area_col=self._area))
+
+    def intersecting(self, zone: PreparedZone) -> "Ways":
+        from libgeodesk_spark.operators.way_join import way_intersects
+        return self._ids(way_intersects(self._df, zone, ring_col=self._ring,
+                                        id_col=self._id,
+                                        is_area_col=self._area))
+
+    def crossing(self, zone: PreparedZone) -> "Ways":
+        """Whole-way CrossesFilter (src/filter/CrossesFilter.cpp:10-41)
+        — symmetric with within/intersecting, closing the round-2
+        fluent-API gap."""
+        from libgeodesk_spark.operators.way_join import way_crossing
+        return self._ids(way_crossing(self._df, zone, ring_col=self._ring,
+                                      id_col=self._id))
+
+    def max_meters_from(self, meters: float, x: int, y: int) -> "Ways":
+        from libgeodesk_spark.operators.way_join import way_max_meters_from
+        return self._ids(way_max_meters_from(
+            self._df, meters, x, y, ring_col=self._ring, id_col=self._id,
+            is_area_col=self._area))
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def ids(self) -> list:
+        return sorted(r[0] for r in
+                      self._df.select(self._id).distinct().collect())

@@ -108,3 +108,36 @@ class TestPipelineSurface:
         assert sorted(zip(pw.id_a, pw.id_b)) == [(1, 2), (1, 3), (2, 3)]
         h = f.cell_hulls().toPandas()
         assert h.n_points.sum() == 4
+
+
+def test_ways_fluent_surface(spark):
+    """Ways fluent wrapper: within/intersecting/crossing/max_meters_from
+    chain and agree with the underlying way_join operators."""
+    import numpy as np
+
+    from libgeodesk_spark.api import Ways
+    from libgeodesk_spark.geom.zones import prepare_zone
+    Z = 1 << 16
+    s = 4 * Z
+    zone = prepare_zone("sq", [np.array(
+        [[0, 0], [s, 0], [s, s], [0, s], [0, 0]], dtype=np.int64)])
+
+    def ring(*pts):
+        pts = list(pts) + [pts[0]]
+        return [{"x": int(x), "y": int(y)} for x, y in pts]
+
+    rows = [
+        ("inside", ring((Z, Z), (2 * Z, Z), (2 * Z, 2 * Z)), True),
+        ("partial", ring((2 * Z, 2 * Z), (6 * Z, 2 * Z))[:-1], False),
+        ("outside", ring((6 * Z, 6 * Z), (7 * Z, 6 * Z), (7 * Z, 7 * Z)),
+         True),
+    ]
+    w = Ways(spark.createDataFrame(
+        rows, "way_id string, ring array<struct<x:long,y:long>>, "
+              "is_area boolean"))
+    assert w.within(zone).ids() == ["inside"]
+    assert w.intersecting(zone).ids() == ["inside", "partial"]
+    assert w.crossing(zone).ids() == ["partial"]
+    # chain: intersecting then crossing narrows to the boundary-crosser
+    assert w.intersecting(zone).crossing(zone).ids() == ["partial"]
+    assert w.max_meters_from(1e9, Z, Z).count() == 3

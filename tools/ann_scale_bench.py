@@ -118,6 +118,54 @@ def main():
                  "shortlist": 128,
                  "sec": round(time.time() - t0, 2)}
 
+    # --- HIGH-DIM evidence (production embedding shapes) -------------------
+    # (a) dim-256 corpus, planes auto-scaled: planes*dim > LSH_JVM_MAX_TERMS
+    # so signatures run the Arrow matmul path end-to-end; recall must hold.
+    hd_n, hd_dim = 24576, 256
+    hd = ann.synth_embeddings(spark, hd_n, hd_dim, n_clusters=192,
+                              jitter=0.30).cache()
+    hd.count()
+    hd_planes = ann.auto_planes(hd_n)
+    assert hd_planes * hd_dim > ann.LSH_JVM_MAX_TERMS  # Arrow path engaged
+    t0 = time.time()
+    b0 = ann.lsh_biases(hd, hd_dim, hd_planes)
+    sig = ann.lsh_tagged(hd, hd_dim, hd_planes, b0).groupBy("bucket").count()
+    row = sig.agg(
+        F.count("*").alias("n_buckets"), F.max("count").alias("max"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.avg("count").alias("mean")).collect()[0]
+    hd_qids = [i * 997 for i in range(8)]
+    rec_hd = {r["method"]: int(r["recall_pct"]) for r in
+              ann.ann_recall(hd, hd_qids, 10, dim=hd_dim).collect()}
+    out["highdim"] = {
+        "n": hd_n, "dim": hd_dim, "planes": hd_planes,
+        "jvm_max_terms": ann.LSH_JVM_MAX_TERMS,
+        "lsh_buckets": {k: float(row[k]) for k in ("n_buckets", "max",
+                                                   "p99", "mean")},
+        "recall_pct": rec_hd, "sec": round(time.time() - t0, 2)}
+    hd.unpersist()
+
+    # (b) trainer stress at the documented target SHAPE: dim 768,
+    # n_lists 4096 — per-iteration driver transfer is exactly n_lists
+    # rows (one (list_id, cnt, sums[768]) row per list), vs the ~3.1M
+    # (list, dim) rows/iter of the old per-dimension explode.
+    tr_n, tr_dim, tr_lists = 16384, 768, 4096
+    tr = ann.synth_embeddings(spark, tr_n, tr_dim, n_clusters=256,
+                              jitter=0.2).cache()
+    tr.count()
+    t0 = time.time()
+    tcents = ann.ivf_centroids_distributed(tr, tr_lists, iters=3)
+    tr_sec = round(time.time() - t0, 2)
+    arow = ann.ivf_assign(tr, tcents).groupBy("list_id").count().agg(
+        F.count("*").alias("n_lists"), F.max("count").alias("max"),
+        F.avg("count").alias("mean")).collect()[0]
+    out["trainer_768d"] = {
+        "n": tr_n, "dim": tr_dim, "n_lists": tr_lists,
+        "iters": 3, "sec": tr_sec,
+        "driver_rows_per_iter": tr_lists,
+        "assigned": {k: float(arow[k]) for k in ("n_lists", "max", "mean")}}
+    tr.unpersist()
+
     md = [
         "# ANN — scale evidence",
         "",
@@ -151,6 +199,31 @@ def main():
         f"({out['ivf_dist_recall_sec']} s); PQ8x8 ADC shortlist-128 + "
         f"exact re-rank {rec.get('pq_rerank')}% ({out['pq']['sec']} s — "
         "8-byte codes, 32x less scan IO than full vectors).",
+        "",
+        "",
+        "## High-dim (production embedding shapes)",
+        "",
+        (f"dim-{hd_dim} corpus ({hd_n:,} vectors, {hd_planes} planes — "
+         f"{hd_planes * hd_dim:,} terms > LSH_JVM_MAX_TERMS="
+         f"{ann.LSH_JVM_MAX_TERMS}, so signatures run the ONE-ARROW-PASS "
+         "numpy matmul; the unrolled JVM expression at this shape blows "
+         "janino's 64 KB method limit — measured): "
+         f"{out['highdim']['lsh_buckets']['n_buckets']:,.0f} buckets, "
+         f"mean {out['highdim']['lsh_buckets']['mean']:.0f}, "
+         f"p99 {out['highdim']['lsh_buckets']['p99']:,.0f}; recall@10 "
+         f"LSH {rec_hd.get('lsh')}% / IVF {rec_hd.get('ivf')}% "
+         f"({out['highdim']['sec']} s)."),
+        "",
+        (f"Distributed Lloyd at the documented TARGET SHAPE — dim "
+         f"{tr_dim}, n_lists {tr_lists:,} ({tr_n:,} vectors, 3 iters): "
+         f"{out['trainer_768d']['sec']} s, driver transfer = "
+         f"{tr_lists:,} rows/iter (one (list, cnt, sums[{tr_dim}]) row "
+         "per list via the JVM zip_with array reduce; the per-dimension "
+         f"explode this replaced shipped ~{tr_lists * tr_dim / 1e6:.1f}M "
+         "rows/iter). Assigned lists: "
+         f"{out['trainer_768d']['assigned']['n_lists']:,.0f} non-empty, "
+         f"max {out['trainer_768d']['assigned']['max']:,.0f}, mean "
+         f"{out['trainer_768d']['assigned']['mean']:.1f}."),
         "",
         f"Raw: `{json.dumps(out)}`",
     ]
