@@ -912,6 +912,23 @@ def _q_zone_length(spark, sf_dir):
             .agg(F.sum(way_length_cm(F.col("ring"))).alias("perimeter_cm")))
 
 
+def _q_zone_lambert(spark, sf_dir):
+    """Ellipsoid-alternative zone area: sinusoidal equal-area projection
+    (LambertArea.h:44-85 — the reference's non-Mercator variant), net =
+    Σ outer |ring| − inner |ring| per zone, rounded to integer m² (both
+    engines compute ~1e10 m² with ~1e-5 m² float noise — rounding is
+    deterministic)."""
+    from libgeodesk_spark.functions.geometry import lambert_signed_area_m2
+    from libgeodesk_spark.sources.points import zones_df
+    z = zones_df(spark)
+    s = lambert_signed_area_m2(F.col("ring")).alias("s")
+    per = z.select("zone_id", "role", s)
+    net = F.sum(F.when(F.col("role") == "outer", F.abs(F.col("s")))
+                .otherwise(-F.abs(F.col("s"))))
+    return per.groupBy("zone_id").agg(
+        F.round(net).cast("long").alias("lambert_m2"))
+
+
 def _q_zone_bbox(spark, sf_dir):
     from libgeodesk_spark.functions.geometry import ring_bbox
     from libgeodesk_spark.sources.points import zones_df
@@ -978,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_centroid": _q_zone_centroid,
         "zone_length": _q_zone_length,
         "zone_bbox": _q_zone_bbox,
+        "zone_lambert_area": _q_zone_lambert,                # NEW r3
         "zorder_key": _q_zorder,
         "stream_dedup": _q_stream_dedup,
         "text_features": _q_text_features,
@@ -1071,6 +1089,34 @@ def oracle_sql() -> dict[str, str]:
                  MAX(x) AS max_x, MAX(y) AS max_y
           FROM v GROUP BY zone_id""",
     }
+    # sinusoidal equal-area (LambertArea.h:44-85): project each vertex,
+    # planar shoelace per ring, outer − inner net per zone, int m²
+    _R_SIN = 6371000.0
+
+    def _sin_px(x, y):
+        return (f"{_R_SIN} * radians(CAST({x} AS DOUBLE) * 360.0 / "
+                f"{MAP_WIDTH}) * cos(radians({_sin_lat(y)}))")
+
+    def _sin_lat(y):
+        return (f"(atan(exp(CAST({y} AS DOUBLE) * {2.0 * PI / MAP_WIDTH}))"
+                f" * {360.0 / PI} - 90.0)")
+
+    def _sin_py(y):
+        return f"{_R_SIN} * radians({_sin_lat(y)})"
+
+    zone_geom_oracle["zone_lambert_area"] = edges_cte + f"""
+      , p AS (SELECT zone_id, ring_id, role,
+               {_sin_px('x1', 'y1')} AS ax, {_sin_py('y1')} AS ay,
+               {_sin_px('x2', 'y2')} AS bx, {_sin_py('y2')} AS "by"
+        FROM e),
+      r AS (SELECT zone_id, ring_id, role,
+                   SUM(ax * "by" - bx * ay) / 2.0 AS s
+            FROM p GROUP BY 1, 2, 3)
+      SELECT zone_id,
+             CAST(round(SUM(CASE WHEN role = 'outer' THEN abs(s)
+                                 ELSE -abs(s) END)) AS BIGINT)
+               AS lambert_m2
+      FROM r GROUP BY zone_id"""
 
 
     def pyramid_sql():

@@ -132,3 +132,59 @@ def ring_bbox(ring: Column) -> Column:
     ys = _ring_ys(ring)
     return F.struct(F.array_min(xs).alias("min_x"), F.array_min(ys).alias("min_y"),
                     F.array_max(xs).alias("max_x"), F.array_max(ys).alias("max_y"))
+
+
+# --- ellipsoid-corrected area (the reference's Lambert/sinusoidal variant,
+# --- src/geom/LambertArea.h:44-85, LambertArea.cpp:11-47) -------------------
+
+#: spherical Earth radius the reference's sinusoidal projection assumes
+#: (src/geom/project/Sinusoidal.h EARTH_RADIUS)
+SINUSOIDAL_EARTH_RADIUS = 6371000.0
+
+
+def lambert_signed_area_m2(ring: Column) -> Column:
+    """SIGNED area in m² via the reference's equal-area alternative:
+    project every vertex through Mercator-inverse → sinusoidal
+    (equal-area, spherical R=6371000 — Sinusoidal.h: px = R·lon_rad·
+    cos(lat), py = R·lat_rad; lat = atan(exp(y·2π/W))·360/π − 90,
+    Mercator.h:100-103) and take the planar shoelace of the projected
+    ring. Unlike the default Mercator-scaled shoelace (ring_area_m2,
+    Area.h:27-32 — one scale factor at the bbox mid-latitude), the
+    area-preserving projection has no mid-latitude approximation error
+    for tall polygons. Sign convention matches shoelace: >0 for CCW.
+
+    Pure Column math (higher-order functions). X is re-centered on the
+    first vertex before the shoelace — the same numerical-stability
+    shift as the reference's x0 subtraction
+    (LambertArea.h:signedOfAbstractRing)."""
+    import math
+    W = 4294967294.9999            # mercator.MAP_WIDTH
+    R = SINUSOIDAL_EARTH_RADIUS
+    deg2rad = math.pi / 180.0
+
+    def proj(p):
+        lat_deg = (F.atan(F.exp(p["y"].cast("double")
+                                * F.lit(2.0 * math.pi / W)))
+                   * F.lit(360.0 / math.pi) - F.lit(90.0))
+        lon_deg = p["x"].cast("double") * F.lit(360.0 / W)
+        lat_rad = lat_deg * F.lit(deg2rad)
+        return F.struct(
+            (F.lit(R) * lon_deg * F.lit(deg2rad) * F.cos(lat_rad))
+            .alias("px"),
+            (F.lit(R) * lat_rad).alias("py"))
+
+    pring = F.transform(ring, proj)
+    x0 = F.element_at(pring, 1)["px"]
+    n = F.size(pring)
+    terms = F.zip_with(
+        F.slice(pring, 1, n - 1), F.slice(pring, 2, n - 1),
+        lambda a, b: (a["px"] - x0) * b["py"] - (b["px"] - x0) * a["py"])
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) / F.lit(2.0)
+
+
+def lambert_area_m2(ring: Column) -> Column:
+    """Unsigned sinusoidal-projected area in m² (LambertArea::ofRing =
+    |signed|; relations sum outer − inner via the polygonizer rings,
+    LambertArea.cpp:27-47 — aggregate per zone with role signs, as
+    zone_shoelace does for the Mercator variant)."""
+    return F.abs(lambert_signed_area_m2(ring))

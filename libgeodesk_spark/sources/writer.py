@@ -66,15 +66,26 @@ def write_gol_layout(df: DataFrame, path: str,
                      part_zoom: int = DEFAULT_PART_ZOOM,
                      zoom: int = mercator.MAX_ZOOM,
                      bloom_cols: tuple[str, ...] = ("image_id",),
+                     category_cols: tuple[str, ...] = (),
                      n_files: int | None = None) -> None:
     """Write ``df`` (must carry x, y, cell_id) cell-partitioned and
     Z-order-clustered.
 
     ``bloom_cols``: parquet bloom filters on point-lookup keys — the
-    analog of the reference's key-bucketed secondary indexes
-    (Matcher.h:128-133 acceptIndex skips whole R-tree roots whose key
-    bucket can't match; a bloom filter skips whole row groups whose key
-    set can't match). Columns absent from the frame are ignored.
+    row-group half of the reference's index pre-test (a bloom filter
+    skips whole row groups whose key set can't match). Columns absent
+    from the frame are ignored.
+
+    ``category_cols``: the KEY-BUCKET half (Matcher.h:128-133
+    acceptIndex: features are split into separate R-trees by key-bucket
+    category, and a query skips whole trees whose bucket can't match).
+    Low-cardinality selector columns (e.g. ``fmt``) become extra
+    partition directories under each cell; a GOQL equality/type
+    selector on them then prunes ENTIRE sub-trees at plan time
+    (Catalyst partition pruning — `PartitionFilters` in the scan, no
+    file listed, no footer read), exactly the acceptIndex contract.
+    Keep cardinality low (≤ tens of values): each adds a directory
+    fan-out factor per cell.
 
     ``n_files`` (default 4× parallelism): range-partition on
     (part_cell, zorder) instead of hashing part_cell whole — a dense
@@ -88,8 +99,9 @@ def write_gol_layout(df: DataFrame, path: str,
     out = df.withColumn(
         "part_cell", cell_zoomed_out(F.col("cell_id"), part_zoom, zoom)) \
         .withColumn("_z", morton_key(F.col("x"), F.col("y")))
-    w = (out.repartitionByRange(n_files, "part_cell", "_z")
-         .sortWithinPartitions("part_cell", "_z")
+    cats = [c for c in category_cols if c in df.columns]
+    w = (out.repartitionByRange(n_files, "part_cell", *cats, "_z")
+         .sortWithinPartitions("part_cell", *cats, "_z")
          .drop("_z")
          .write.mode("overwrite")
          # small row groups keep hot-cell files splittable: a dense cell's
@@ -99,7 +111,7 @@ def write_gol_layout(df: DataFrame, path: str,
     for c in bloom_cols:
         if c in df.columns:
             w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
-    w.partitionBy("part_cell").parquet(path)
+    w.partitionBy("part_cell", *cats).parquet(path)
 
 
 def read_gol_layout(spark: SparkSession, path: str) -> DataFrame:

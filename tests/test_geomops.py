@@ -129,3 +129,74 @@ class TestGroupedOps:
         # exact kernel agreement
         want = simplify_ring(np.array([(0, 0), (1, 1), (2, 2), (100, 0)]), 2)
         assert got == [tuple(p) for p in want]
+
+
+class TestLambertArea:
+    """Sinusoidal equal-area alternative (LambertArea.h:44-85): numpy
+    mirror equality + agreement with the Mercator-scaled default within
+    the default's documented mid-latitude approximation error."""
+
+    @staticmethod
+    def _numpy_mirror(ring_xy):
+        import math
+        W = 4294967294.9999
+        R = 6371000.0
+        pts = []
+        for x, y in ring_xy:
+            lat = math.atan(math.exp(y * 2 * math.pi / W)) * 360 / math.pi - 90
+            lon = x * 360.0 / W
+            px = R * math.radians(lon) * math.cos(math.radians(lat))
+            py = R * math.radians(lat)
+            pts.append((px, py))
+        x0 = pts[0][0]
+        s = 0.0
+        for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+            s += (ax - x0) * by - (bx - x0) * ay
+        return s / 2.0
+
+    def test_matches_numpy_mirror_and_mercator_default(self, spark):
+        from libgeodesk_spark.functions.geometry import (
+            lambert_signed_area_m2, ring_area_m2)
+        # 100km-ish square at ~45N (y≈510e6) and a tall 20x500km strip
+        # (where the Mercator single-scale approximation is weakest)
+        sq = [(0, 500_000_000), (3_000_000, 500_000_000),
+              (3_000_000, 503_000_000), (0, 503_000_000), (0, 500_000_000)]
+        tall = [(0, 400_000_000), (600_000, 400_000_000),
+                (600_000, 415_000_000), (0, 415_000_000), (0, 400_000_000)]
+        df = spark.createDataFrame(
+            [("sq", [{"x": x, "y": y} for x, y in sq]),
+             ("tall", [{"x": x, "y": y} for x, y in tall])],
+            "zone string, ring array<struct<x:long,y:long>>")
+        got = {r["zone"]: (r["lam"], r["merc"]) for r in df.select(
+            "zone", lambert_signed_area_m2(F.col("ring")).alias("lam"),
+            ring_area_m2(F.col("ring")).alias("merc")).collect()}
+        for name, ring_xy in (("sq", sq), ("tall", tall)):
+            lam, merc = got[name]
+            want = self._numpy_mirror(ring_xy)
+            assert lam == pytest.approx(want, rel=1e-12), name
+            # both rings are CCW -> positive signed area
+            assert lam > 0
+            # the two conventions agree to ~1% on these shapes
+            assert abs(lam) == pytest.approx(merc, rel=0.02), name
+
+    def test_equator_square_is_metric(self, spark):
+        """A small square at the equator must measure ~(side_m)² — the
+        equal-area projection is locally metric there. The systematic
+        (R_sphere/R_wgs84_equatorial)² = (6371000/6378137)² ≈ 0.99776
+        offset is the REFERENCE'S own convention split: Sinusoidal.h
+        assumes a 6371 km sphere while the Mercator meters scale uses
+        the WGS84 equatorial circumference."""
+        from libgeodesk_spark.functions.geometry import lambert_area_m2
+        from libgeodesk_spark.mercator import meters_per_unit_at_y
+        side_units = 100_000
+        side_m = side_units * meters_per_unit_at_y(0)
+        ring = [(0, 0), (side_units, 0), (side_units, side_units),
+                (0, side_units), (0, 0)]
+        df = spark.createDataFrame(
+            [([{"x": x, "y": y} for x, y in ring],)],
+            "ring array<struct<x:long,y:long>>")
+        got = df.select(lambert_area_m2(F.col("ring")).alias("a")) \
+            .first()["a"]
+        sphere_ratio = (6371000.0 / 6378137.0) ** 2
+        assert got == pytest.approx(side_m * side_m * sphere_ratio,
+                                    rel=1e-4)

@@ -126,3 +126,35 @@ def test_bloom_filter_written(spark, tmp_path):
     write_gol_layout(pts, with_bloom)
     write_gol_layout(pts, without, bloom_cols=())
     assert total(with_bloom) > total(without)
+
+
+def test_category_partition_pruning(spark, sf_dir, tmp_path):
+    """The key-bucket HALF of P11 (Matcher.h:128-133 acceptIndex skips
+    whole R-trees whose key bucket can't match): a low-cardinality
+    selector column written as an extra partition level is pruned at
+    PLAN time by a GOQL equality selector — PartitionFilters carries the
+    category, and results are unchanged."""
+    from libgeodesk_spark.functions.goql import compile_goql
+    from libgeodesk_spark.sources.points import derived_points
+    from libgeodesk_spark.sources.writer import (
+        read_gol_layout, write_gol_layout)
+
+    pts = derived_points(spark, sf_dir)
+    r = F.col("pid") % 10
+    fmt = F.when(r < 4, "png").when(r < 8, "jpeg").otherwise("bmp")
+    imgs = pts.withColumn("fmt", fmt)
+    path = str(tmp_path / "golcat")
+    write_gol_layout(imgs, path, category_cols=("fmt",))
+    back = read_gol_layout(spark, path)
+
+    q = back.filter(compile_goql("*[fmt=png]"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # fmt appears in the partition filters, pruning whole directories
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
+    assert "fmt" in pf, pf
+    got = sorted(r.image_id for r in q.select("image_id").collect())
+    want = sorted(r.image_id for r in
+                  imgs.filter("fmt = 'png'").select("image_id").collect())
+    assert got == want
