@@ -129,11 +129,47 @@ def knn(points: DataFrame, qx: int, qy: int, k: int,
                                               f"{y_col} long, sq_dist long")
 
 
+#: above this many queries, knn_batch delegates to the knn_join grid
+#: ladder: the ring protocol runs one full candidate join per radius
+#: doubling for ALL pending queries (right for few queries — each round
+#: is cell-IN-pruned and tiny), while the ladder self-schedules per
+#: query density (measured at sf0.1: 10k ring-protocol queries 126 s vs
+#: the ladder's 457k queries in 23 s).
+KNN_BATCH_JOIN_THRESHOLD = 512
+
+
+def _knn_batch_via_join(points: DataFrame, queries: list[tuple], k: int,
+                        id_col: str, x_col: str, y_col: str) -> DataFrame:
+    """knn_batch semantics through the knn_join ladder: queries become a
+    synthetic query-side frame (ids prefixed so no candidate is ever
+    self-excluded), results re-join the points table for neighbor
+    coordinates. Identical output contract to the ring protocol
+    (pytest-asserted)."""
+    spark = points.sparkSession
+    qdf = spark.createDataFrame(
+        [("\x00q:" + str(qid), int(qx), int(qy)) for qid, qx, qy in queries],
+        f"_kj_id string, {x_col} long, {y_col} long")
+    cand = points.select(F.col(id_col).cast("string").alias("_kj_id"),
+                         x_col, y_col)
+    out = knn_join(cand, k, id_col="_kj_id", x_col=x_col, y_col=y_col,
+                   queries=qdf)
+    back = points.select(F.col(id_col).cast("string").alias("_kj_id"),
+                         F.col(x_col).alias("_nx"),
+                         F.col(y_col).alias("_ny")).dropDuplicates(["_kj_id"])
+    return (out.join(back, out["id_b"] == back["_kj_id"])
+            .select(F.expr("substring(id_a, 4)").alias("qid"),
+                    F.col("id_b").alias(id_col),
+                    F.col("_nx").alias(x_col), F.col("_ny").alias(y_col),
+                    F.col("d2").alias("sq_dist"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def knn_batch(points: DataFrame, queries: list[tuple], k: int,
               zoom: int = mercator.MAX_ZOOM,
               id_col: str = "image_id", x_col: str = "x", y_col: str = "y",
               cell_col: str = "cell_id", start_r: int = 1,
-              max_rings: int = 64) -> DataFrame:
+              max_rings: int = 64,
+              join_threshold: int = KNN_BATCH_JOIN_THRESHOLD) -> DataFrame:
     """Exact kNN for MANY query points in one Spark job.
 
     queries = [(qid, qx, qy), ...]. The per-query covered cell box
@@ -149,9 +185,21 @@ def knn_batch(points: DataFrame, queries: list[tuple], k: int,
     re-run with a doubled radius. One shuffle (the window) over
     candidate rows only; the candidate scan is cell-IN-pruned. Results
     identical to per-query :func:`knn`.
+
+    Above ``join_threshold`` queries the call delegates to the
+    :func:`knn_join` grid ladder (measured ~20x faster at 10⁴ queries:
+    the ring protocol re-joins ALL pending queries per radius doubling,
+    the ladder self-schedules per local density). Same output schema;
+    the ladder breaks exact-distance ties by STRING id (the ring path
+    by the id column's native type), so numeric-id tables with duplicate
+    distances may order ties differently across the threshold — string
+    ids (the input_hint schema) are identical in both paths.
     """
     import pandas as pd
     from pyspark.sql import Window
+
+    if len(queries) > join_threshold:
+        return _knn_batch_via_join(points, queries, k, id_col, x_col, y_col)
 
     spark = points.sparkSession
     pending = {str(qid): (int(qx), int(qy)) for qid, qx, qy in queries}

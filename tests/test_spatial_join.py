@@ -294,6 +294,23 @@ class TestKnnJoin:
             assert got["image_id"].tolist() == want["image_id"].tolist(), qid
             assert got["sq_dist"].tolist() == want["sq_dist"].tolist(), qid
 
+    def test_knn_batch_join_path_matches_ring_path(self, spark, points):
+        """Above the delegation threshold knn_batch routes through the
+        knn_join ladder — same rows as the ring protocol for the same
+        queries (string ids: identical tie-break)."""
+        from libgeodesk_spark.operators.knn import knn_batch
+        rows = points.select("pid", "x", "y").collect()
+        qs = [(f"q{r['pid']}", r["x"] + 3, r["y"] - 7) for r in rows[::9]]
+        assert len(qs) > 60
+        ring = knn_batch(points, qs, 5, join_threshold=10**9).toPandas()
+        ladder = knn_batch(points, qs, 5, join_threshold=0).toPandas()
+        key = ["qid", "rank"]
+        r = ring.sort_values(key).reset_index(drop=True)
+        l = ladder.sort_values(key).reset_index(drop=True)
+        assert r[["qid", "image_id", "sq_dist", "rank"]].equals(
+            l[["qid", "image_id", "sq_dist", "rank"]])
+        assert r[["x", "y"]].equals(l[["x", "y"]])
+
     def test_int32_coordinates(self, spark):
         """knn_join over IntegerType x/y must equal the LongType result:
         the round ladder shifts by up to 32 bits and the JVM masks shift

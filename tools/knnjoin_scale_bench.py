@@ -92,14 +92,14 @@ def main():
         (f"{big['queries']:,} query points (every 45th pid — includes the "
          f"hot block proportionally), k=10: wall {big['wall_sec']} s "
          f"({big['queries_per_sec']:,} queries/s) vs "
-         f"{batch_stats[50]['wall_sec']} s for 50 queries — a "
-         f"{big['queries'] / 50:.0f}x larger query set costs "
-         f"{big['wall_sec'] / batch_stats[50]['wall_sec']:.1f}x the wall. "
-         "The candidate cell boxes are generated as JVM sequence/explode "
-         "Column math (one row per (query, cell), never materialized in "
-         "Python); the driver holds one (qx, qy) per pending query and "
-         "does the O(|pending|) stop test per round. For larger query "
-         "sets, `knn_join(queries=...)` is the self-scheduling path."),
+         f"{batch_stats[50]['wall_sec']} s for 50 queries. Above "
+         "KNN_BATCH_JOIN_THRESHOLD (512) the call DELEGATES to the "
+         "knn_join grid ladder (self-scheduling by local density; "
+         "pytest asserts row-identical output across the threshold); "
+         "small query sets keep the ring protocol, whose candidate cell "
+         "boxes are JVM sequence/explode Column math — the driver holds "
+         "one (qx, qy) per pending query and does the O(|pending|) stop "
+         "test per round, never a Python cell enumeration."),
     ]
     with open(os.path.join(REPO, "BENCH", "KNNJOIN.md"), "w") as f:
         f.write("\n".join(md) + "\n")
