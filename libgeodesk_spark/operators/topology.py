@@ -193,6 +193,98 @@ def relation_length_recursive(membership: DataFrame, ways: DataFrame,
             .groupBy("root_id").agg(F.sum("_len").alias("length_cm")))
 
 
+def relation_area_m2_recursive(membership: DataFrame, ways: DataFrame,
+                               rel_ids: Sequence,
+                               way_id: str = "way_id",
+                               ring_col: str = "ring",
+                               is_area_col: str = "is_area",
+                               **kw) -> DataFrame:
+    """Relation area through the RECURSIVE member walk (G4 for nested
+    relations): Σ ring_area_m2 of every transitively-reachable AREA
+    member, each counted once per root. Member rings are treated as
+    independent shells — the common multipolygon-outer case; relations
+    whose member ways only form rings TOGETHER (or carry holes) go
+    through the driver-side polygonizer (geom/polygonize.build_rings /
+    assign_holes), exactly as the reference polygonizes per relation
+    (src/geom/Area.cpp:52-79)."""
+    from libgeodesk_spark.functions.geometry import ring_area_m2
+    closure = relation_ways_recursive(membership, rel_ids, **kw)
+    w = ways.filter(F.col(is_area_col)).select(
+        F.col(way_id).alias("member_id"),
+        ring_area_m2(F.col(ring_col)).alias("_a"))
+    return (closure.join(w, "member_id")
+            .groupBy("root_id").agg(F.sum("_a").alias("area_m2")))
+
+
+def relation_centroid_recursive(membership: DataFrame, ways: DataFrame,
+                                rel_ids: Sequence,
+                                way_id: str = "way_id",
+                                ring_col: str = "ring",
+                                is_area_col: str = "is_area",
+                                **kw) -> DataFrame:
+    """Relation centroid through the RECURSIVE member walk with the
+    reference's priority dispatch (Centroid::ofRelation,
+    src/geom/Centroid.cpp:51-74: areal > lineal, bbox-center fallback),
+    distributed: ONE conditional aggregation per root — area members
+    contribute ring-weighted terms (each as a shell, Centroid.cpp:77-88),
+    line members length-weighted terms; whichever tier is non-degenerate
+    wins. Returns (root_id, centroid_x, centroid_y)."""
+    from libgeodesk_spark.functions.geometry import (
+        ring_bbox,
+        ring_centroid_terms,
+    )
+    closure = relation_ways_recursive(membership, rel_ids, **kw)
+    a, cx, cy = ring_centroid_terms(F.col(ring_col), F.lit(True))
+    is_area = F.col(is_area_col)
+    zero = F.lit(0.0)
+    # lineal raw terms (not the final rounded pair): reuse the same
+    # geometry as lineal_centroid but keep the sums aggregatable
+    from libgeodesk_spark.functions.geometry import _pairs
+    seg_len = F.transform(_pairs(F.col(ring_col)), lambda e: F.sqrt(
+        ((e["p2"]["x"] - e["p1"]["x"]) * (e["p2"]["x"] - e["p1"]["x"])
+         + (e["p2"]["y"] - e["p1"]["y"]) * (e["p2"]["y"] - e["p1"]["y"]))
+        .cast("double")))
+    add = lambda acc, v: acc + v  # noqa: E731
+    tot = F.aggregate(seg_len, zero, add)
+    wx = F.aggregate(
+        F.zip_with(_pairs(F.col(ring_col)), seg_len,
+                   lambda e, sl: (e["p1"]["x"] + e["p2"]["x"])
+                   .cast("double") * sl), zero, add)
+    wy = F.aggregate(
+        F.zip_with(_pairs(F.col(ring_col)), seg_len,
+                   lambda e, sl: (e["p1"]["y"] + e["p2"]["y"])
+                   .cast("double") * sl), zero, add)
+    b = ring_bbox(F.col(ring_col))
+    w = ways.select(
+        F.col(way_id).alias("member_id"),
+        F.when(is_area, a).otherwise(zero).alias("_a"),
+        F.when(is_area, cx).otherwise(zero).alias("_cx"),
+        F.when(is_area, cy).otherwise(zero).alias("_cy"),
+        F.when(~is_area, tot).otherwise(zero).alias("_t"),
+        F.when(~is_area, wx).otherwise(zero).alias("_wx"),
+        F.when(~is_area, wy).otherwise(zero).alias("_wy"),
+        b["min_x"].alias("_mnx"), b["min_y"].alias("_mny"),
+        b["max_x"].alias("_mxx"), b["max_y"].alias("_mxy"))
+    agg = (closure.join(w, "member_id").groupBy("root_id")
+           .agg(F.sum("_a").alias("a"), F.sum("_cx").alias("cx"),
+                F.sum("_cy").alias("cy"), F.sum("_t").alias("t"),
+                F.sum("_wx").alias("wx"), F.sum("_wy").alias("wy"),
+                F.min("_mnx").alias("mnx"), F.min("_mny").alias("mny"),
+                F.max("_mxx").alias("mxx"), F.max("_mxy").alias("mxy")))
+    areal_x = F.round(F.col("cx") / (F.lit(3.0) * F.col("a"))).cast("long")
+    areal_y = F.round(F.col("cy") / (F.lit(3.0) * F.col("a"))).cast("long")
+    lineal_x = F.round(F.col("wx") / (F.col("t") * 2.0)).cast("long")
+    lineal_y = F.round(F.col("wy") / (F.col("t") * 2.0)).cast("long")
+    bbox_x = ((F.col("mnx") + F.col("mxx")) / 2).cast("long")
+    bbox_y = ((F.col("mny") + F.col("mxy")) / 2).cast("long")
+    cx_out = F.when(F.col("a") != 0.0, areal_x) \
+        .when(F.col("t") > 0.0, lineal_x).otherwise(bbox_x)
+    cy_out = F.when(F.col("a") != 0.0, areal_y) \
+        .when(F.col("t") > 0.0, lineal_y).otherwise(bbox_y)
+    return agg.select("root_id", cx_out.alias("centroid_x"),
+                      cy_out.alias("centroid_y"))
+
+
 def nodes_of(ways: DataFrame, feature_nodes: DataFrame,
              way_col: str = "way_id", ring_col: str = "ring",
              node_id: str = "node_id") -> DataFrame:

@@ -113,6 +113,105 @@ class TestTopology:
         assert got[1] == per_way[10] + per_way[20] + per_way[30]
         assert got[4] == per_way[40]
 
+    def test_members_recursive_random_graphs_match_bfs(self, spark):
+        """Randomized (seeded) cyclic digraphs: the distributed closure
+        must equal a plain-Python BFS — members at min depth, cycles
+        guarded, any topology."""
+        import random
+
+        from libgeodesk_spark.operators.topology import members_recursive
+        rng = random.Random(7)
+        for trial in range(4):
+            n_rel = rng.randint(3, 8)
+            edges = []
+            for r in range(n_rel):
+                for _ in range(rng.randint(1, 3)):
+                    edges.append((r, 100 + rng.randint(0, 9), "way"))
+                for _ in range(rng.randint(0, 2)):
+                    edges.append((r, rng.randrange(n_rel), "relation"))
+            edges = sorted(set(edges))
+            roots = [0, rng.randrange(n_rel)]
+
+            # python BFS mirror
+            want = set()
+            for root in set(roots):
+                depth = {}
+                frontier = [(m, t) for rr, m, t in edges if rr == root]
+                d = 1
+                seen = set()
+                while frontier and d <= 32:
+                    nxt = []
+                    for m, t in frontier:
+                        if m in seen:
+                            continue
+                        seen.add(m)
+                        depth[(m, t)] = min(depth.get((m, t), d), d)
+                        if t == "relation":
+                            nxt += [(m2, t2) for rr, m2, t2 in edges
+                                    if rr == m]
+                    frontier = nxt
+                    d += 1
+                want |= {(root, m, t, dd) for (m, t), dd in depth.items()}
+
+            memb = spark.createDataFrame(
+                edges, "rel_id long, member_id long, mtype string")
+            got = {tuple(r) for r in
+                   members_recursive(memb, sorted(set(roots))).collect()}
+            assert got == want, (trial, edges, roots)
+
+    def test_relation_area_and_centroid_recursive(self, spark):
+        """G4/G5 routed through the closure: area sums transitive AREA
+        members only; centroid follows the areal > lineal > bbox priority
+        (Centroid.cpp:51-74) per root, matching the single-relation
+        numpy kernel."""
+        from libgeodesk_spark.geom.polygonize import relation_centroid
+        from libgeodesk_spark.operators.topology import (
+            relation_area_m2_recursive, relation_centroid_recursive)
+        memb = spark.createDataFrame(
+            [(1, 10, "way"), (1, 11, "way"), (1, 2, "relation"),
+             (2, 20, "way"),           # nested area member
+             (3, 30, "way"),           # lineal-only relation
+             (4, 40, "way")],          # zero-length: bbox fallback
+            "rel_id long, member_id long, mtype string")
+
+        def ring(*pts):
+            return [{"x": int(x), "y": int(y)} for x, y in pts]
+
+        Z = 1 << 16
+        sq1 = [(0, 0), (4 * Z, 0), (4 * Z, 4 * Z), (0, 4 * Z), (0, 0)]
+        sq2 = [(10 * Z, 0), (12 * Z, 0), (12 * Z, 2 * Z), (10 * Z, 2 * Z),
+               (10 * Z, 0)]
+        line = [(0, 0), (8 * Z, 0)]
+        ways = spark.createDataFrame(
+            [(10, ring(*sq1), True),
+             (11, ring(*line), False),
+             (20, ring(*sq2), True),
+             (30, ring(*line), False),
+             (40, ring((5, 5), (5, 5)), False)],
+            "way_id long, ring array<struct<x:long,y:long>>, "
+            "is_area boolean")
+
+        areas = {r.root_id: r.area_m2 for r in relation_area_m2_recursive(
+            memb, ways, [1, 3]).collect()}
+        from libgeodesk_spark.functions.geometry import ring_area_m2
+        per = {r.way_id: r.a for r in ways.filter("is_area").select(
+            "way_id", ring_area_m2(F.col("ring")).alias("a")).collect()}
+        assert areas[1] == per[10] + per[20]   # nested sq2 counted
+        assert 3 not in areas                  # lineal-only: no area row
+
+        cents = {r.root_id: (r.centroid_x, r.centroid_y)
+                 for r in relation_centroid_recursive(
+                     memb, ways, [1, 3, 4]).collect()}
+        import numpy as np
+        want1 = relation_centroid(
+            [np.array(sq1), np.array(sq2)], [np.array(line)], [],
+            (0, 0, 12 * Z, 4 * Z))
+        assert cents[1] == want1               # areal wins over lineal
+        want3 = relation_centroid([], [np.array(line)], [],
+                                  (0, 0, 8 * Z, 0))
+        assert cents[3] == want3               # lineal tier
+        assert cents[4] == (5, 5)              # bbox-center fallback
+
     def test_connected_to_relation(self, spark):
         """Relation-anchored connectedTo (ConnectedFilter.cpp:60-118):
         candidates sharing a vertex with any member way accept; the

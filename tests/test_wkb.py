@@ -155,3 +155,42 @@ def test_wkb_export_roundtrip():
     mp = multipolygon_to_wkb([rings, far])
     back2 = wkb_to_rings(mp)
     assert len(back2) == 3
+
+
+class TestGeoParquet:
+    def test_round_trip_with_geo_metadata(self, spark, tmp_path):
+        """GeoParquet sink/source: distributed pyarrow footers carry the
+        spec's `geo` metadata; WKB geometry survives a write→read→decode
+        round trip within the ±1-unit degree-projection contract."""
+        import numpy as np
+
+        from libgeodesk_spark.geom.wkb import rings_to_wkb
+        from libgeodesk_spark.sources.geoparquet import (
+            decode_geometry, read_geoparquet, write_geoparquet)
+        Z = 1 << 20
+        rings = [
+            ("a", [np.array([[0, 0], [4 * Z, 0], [4 * Z, 4 * Z],
+                             [0, 4 * Z], [0, 0]], dtype=np.int64)]),
+            ("b", [np.array([[10 * Z, 0], [12 * Z, 0], [11 * Z, 2 * Z],
+                             [10 * Z, 0]], dtype=np.int64)]),
+        ]
+        rows = [(zid, bytearray(rings_to_wkb(rs))) for zid, rs in rings]
+        df = spark.createDataFrame(rows, "zone_id string, geometry binary") \
+            .repartition(2)
+        path = str(tmp_path / "gpq")
+        n_files = write_geoparquet(df, path)
+        assert n_files >= 1
+
+        back, geo = read_geoparquet(spark, path)
+        assert geo["primary_column"] == "geometry"
+        assert geo["columns"]["geometry"]["encoding"] == "WKB"
+        assert back.count() == 2
+
+        dec = {r.zone_id: r.rings for r in
+               decode_geometry(back, geo).collect()}
+        for zid, rs in rings:
+            got = dec[zid]
+            assert len(got) == len(rs)
+            for gring, wring in zip(got, rs):
+                g = np.array([[p["x"], p["y"]] for p in gring])
+                assert np.abs(g - wring).max() <= 1  # degree round trip
