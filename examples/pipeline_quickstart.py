@@ -63,6 +63,38 @@ def main():
     sub, plan = tbl.planned_scan(spark, {"cell_id": (lo, lo + 4096)},
                                  snapshot_id=v)
     print(f"pruned scan: {sub.count()} rows, plan={plan}")
+
+    # 6. streaming ingest INTO the snapshot table, exactly-once across
+    #    restarts (epoch tags in the manifest — Iceberg streaming-sink
+    #    semantics): late-arriving images land as new atomic snapshots
+    from libgeodesk_spark.streaming.ingest import stream_to_snapshot
+    late = pts.filter(F.col("pid") % 97 == 0) \
+        .select("image_id", "pid", "cell_id")
+    late.write.parquet(f"{base}/late/b1")
+    q = stream_to_snapshot(
+        spark.readStream.schema("image_id string, pid long, cell_id long")
+        .parquet(f"{base}/late/*"),
+        SnapshotTable(f"{base}/late_tbl"), f"{base}/late_ck")
+    q.awaitTermination(120)
+    print(f"streamed snapshot: "
+          f"{SnapshotTable(f'{base}/late_tbl').read(spark).count()} rows")
+
+    # 7. recursive relation walk (superrelation-style membership),
+    #    cycle-guarded, with per-root geometry through the closure
+    from libgeodesk_spark.operators.topology import (
+        members_recursive, relation_length_recursive)
+    memb = spark.createDataFrame(
+        [(1, 10, "way"), (1, 2, "relation"), (2, 20, "way"),
+         (2, 1, "relation")],                    # 2-cycle: guarded
+        "rel_id long, member_id long, mtype string")
+    print("closure:", sorted(map(tuple, members_recursive(memb, [1])
+                                 .collect())))
+    ways = spark.createDataFrame(
+        [(w, [{"x": 0, "y": 0}, {"x": w * 1000, "y": 0}])
+         for w in (10, 20)],
+        "way_id long, ring array<struct<x:long,y:long>>")
+    print("recursive length:",
+          relation_length_recursive(memb, ways, [1]).collect())
     spark.stop()
 
 

@@ -593,18 +593,26 @@ def ann_recall(emb: DataFrame, query_ids: list[int], k: int,
     the LSH signature (JVM codegen vs Arrow matmul past
     ``LSH_JVM_MAX_TERMS``)."""
     spark = emb.sparkSession
-    exact = {(r["qid"], r["vec_id"])
-             for r in brute_topk(emb, query_ids, k, id_col, vec_col).collect()}
-    rows = []
-    for method, df in (
-            ("lsh", lsh_bucket_topk(emb, query_ids, k, dim=dim, id_col=id_col,
-                                    vec_col=vec_col)),
-            ("ivf", ivf_topk(emb, query_ids, k, id_col=id_col,
-                             vec_col=vec_col, nprobe=8))):
-        got = {(r["qid"], r["vec_id"]) for r in df.collect()}
-        hits = len(got & exact)
-        rows.append((method, hits, len(exact),
-                     int(round(100.0 * hits / max(len(exact), 1)))))
+    # cache once: brute + LSH (count, per-table biases, signatures) + IVF
+    # (train, assign) each re-derive the corpus otherwise — for derived/
+    # synthetic inputs that is ~10 redundant generation passes
+    emb = emb.persist()
+    try:
+        exact = {(r["qid"], r["vec_id"])
+                 for r in brute_topk(emb, query_ids, k,
+                                     id_col, vec_col).collect()}
+        rows = []
+        for method, df in (
+                ("lsh", lsh_bucket_topk(emb, query_ids, k, dim=dim,
+                                        id_col=id_col, vec_col=vec_col)),
+                ("ivf", ivf_topk(emb, query_ids, k, id_col=id_col,
+                                 vec_col=vec_col, nprobe=8))):
+            got = {(r["qid"], r["vec_id"]) for r in df.collect()}
+            hits = len(got & exact)
+            rows.append((method, hits, len(exact),
+                         int(round(100.0 * hits / max(len(exact), 1)))))
+    finally:
+        emb.unpersist()
     return spark.createDataFrame(
         rows, "method string, n_hits long, n_exact long, recall_pct long")
 
