@@ -254,6 +254,28 @@ class Ways:
             self._df, meters, x, y, ring_col=self._ring, id_col=self._id,
             is_area_col=self._area))
 
+    def length(self, unit: str = "m") -> DataFrame:
+        """(way_id, length_<unit>) — A3/G1 with the reference's exact
+        unit table (LengthUnit.cpp:20-35; aliases m/km/ft/yd/mi)."""
+        from libgeodesk_spark.functions.geometry import way_length_m
+        from libgeodesk_spark.functions.units import (
+            meters_col_to_unit, unit_from_string)
+        unit_from_string(unit)          # validate early, clear message
+        return self._df.select(
+            self._id,
+            meters_col_to_unit(way_length_m(F.col(self._ring)), unit)
+            .alias(f"length_{unit.strip().lower()}"))
+
+    def area_m2(self, lambert: bool = False) -> DataFrame:
+        """(way_id, area_m2) for AREA ways — Mercator-scaled shoelace by
+        default (Area.h:27-32), sinusoidal equal-area with
+        ``lambert=True`` (LambertArea.h:44-85)."""
+        from libgeodesk_spark.functions.geometry import (
+            lambert_area_m2, ring_area_m2)
+        fn = lambert_area_m2 if lambert else ring_area_m2
+        return self._df.filter(F.col(self._area)).select(
+            self._id, fn(F.col(self._ring)).alias("area_m2"))
+
     @property
     def df(self) -> DataFrame:
         return self._df

@@ -141,3 +141,13 @@ def test_ways_fluent_surface(spark):
     # chain: intersecting then crossing narrows to the boundary-crosser
     assert w.intersecting(zone).crossing(zone).ids() == ["partial"]
     assert w.max_meters_from(1e9, Z, Z).count() == 3
+    # terminal geometry with the reference unit table
+    lens = {r[0]: r[1] for r in w.length("km").collect()}
+    assert lens["partial"] > 0
+    mi = {r[0]: r[1] for r in w.length("mi").collect()}
+    assert mi["partial"] == lens["partial"] / 0.001 * 0.0006213711922373339
+    areas = {r[0]: r[1] for r in w.area_m2().collect()}
+    assert set(areas) == {"inside", "outside"} and areas["inside"] > 0
+    lamb = {r[0]: r[1] for r in w.area_m2(lambert=True).collect()}
+    # the two conventions agree to ~1% on small near-equator rings
+    assert abs(lamb["inside"] / areas["inside"] - 1) < 0.01

@@ -146,3 +146,37 @@ def test_hilbert_locality():
     d = M.hilbert_d(xs.ravel(), ys.ravel(), order=5)
     assert len(set(d.tolist())) == g * g
     assert d.min() == 0 and d.max() == g * g - 1
+
+
+class TestLengthUnits:
+    def test_aliases_and_reference_factors(self):
+        """LengthUnit surface: every alias of LengthUnit_attr.txt
+        resolves; factors are the reference's EXACT constants
+        (LengthUnit.cpp:20-35), not re-derived approximations."""
+        import pytest as _pt
+
+        from libgeodesk_spark.functions.units import (
+            meters_to_unit, unit_from_string, unit_to_meters)
+        for alias, idx in (("m", 0), ("meters", 0), ("KM", 1),
+                           ("kilometers", 1), ("ft", 2), ("feet", 2),
+                           ("yd", 3), ("yards", 3), ("mi", 4),
+                           ("miles", 4)):
+            assert unit_from_string(alias) == idx
+        assert meters_to_unit(1000.0, "km") == 1.0
+        assert meters_to_unit(1.0, "ft") == 3.28084
+        assert meters_to_unit(1.0, "yd") == 1.093613
+        assert meters_to_unit(1609.344, "mi") == \
+            1609.344 * 0.0006213711922373339
+        # inverse round-trips through the reference's reciprocal table
+        assert unit_to_meters(meters_to_unit(123.456, "mi"), "mi") == \
+            _pt.approx(123.456, rel=1e-15)
+        with _pt.raises(ValueError, match="miles"):
+            unit_from_string("furlongs")
+
+    def test_column_variant(self, spark):
+        from pyspark.sql import functions as F
+
+        from libgeodesk_spark.functions.units import meters_col_to_unit
+        got = spark.range(1).select(
+            meters_col_to_unit(F.lit(1000.0), "km").alias("v")).first()["v"]
+        assert got == 1.0
