@@ -552,6 +552,30 @@ def _q_snapshot_scan(spark, sf_dir):
     return df.select("image_id", "pid", "cell_id")
 
 
+def _q_snapshot_within(spark, sf_dir):
+    """INTEGRATION row — store → index walk → spatial join composed:
+    commit the Z-ordered point table into a SnapshotTable (S9), scan it
+    through manifest bbox pruning on the zone's window (S3's two-level
+    accept: file stats prune, residual filter re-checks), then the
+    within join (J2) on the pruned scan. Correct iff the composition
+    loses/duplicates nothing — the oracle is the plain within_sql over
+    ALL points, identical to within_comb's."""
+    import tempfile
+
+    from libgeodesk_spark.operators.spatial_join import join_zones
+    from libgeodesk_spark.sources.catalog import SnapshotTable
+    pts = _points(spark, sf_dir).select("image_id", "x", "y", "cell_id")
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="spark_graft_snapw_") + "/t",
+                        stat_cols=("x", "y"))
+    tbl.commit(pts, zorder_by=("x", "y"))
+    z = _zone("comb")
+    mnx, mny, mxx, mxy = z.bbox
+    df, _plan = tbl.planned_scan(spark, {"x": (mnx, mxx), "y": (mny, mxy)})
+    return join_zones(df, [z], predicate="within",
+                      columns=["image_id", "cell_id"],
+                      single_pass=True).select("image_id", "cell_id")
+
+
 def _q_user_sessions(spark, sf_dir):
     """Window-function coverage: per-user session counts with a 30-minute
     gap rule over the events stream table (lag + conditional cumsum)."""
@@ -956,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_pairs": _q_near_pairs,
         "asof_views": _q_asof_views,
         "snapshot_scan": _q_snapshot_scan,
+        "snapshot_within": _q_snapshot_within,         # NEW r3 integration
         "clean_corpus": _q_clean_corpus,
         "phash_near_dups": _q_phash_near_dups,
         "stream_window_counts": _q_stream_window_counts,
@@ -1367,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT image_id, pid, cell_id FROM pts
         WHERE pid % 2 = 0
           AND cell_id BETWEEN {SNAP_CELL_RANGE[0]} AND {SNAP_CELL_RANGE[1]}"""
+    out["snapshot_within"] = within_sql(GATE_ZONES["comb"])
     from libgeodesk_spark.operators.dedup import phash_near_dups_sql
     out["phash_near_dups"] = f"""{pc},
         imgs AS (
