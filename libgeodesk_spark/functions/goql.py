@@ -116,7 +116,13 @@ def _compile_clause(clause: str, resolver) -> Column:
     for raw in values:
         val = raw.strip("\"'")
         if raw and _NUM.match(raw):
-            conds.append(_num(v) == float(raw))
+            # NULL-SAFE numeric equality: a non-numeric tag value
+            # try_casts to NULL, and plain `NULL == 3` is NULL — which
+            # would POISON a value-list OR and make [k!=v1,3] reject
+            # present-but-non-numeric values (the reference's STR_TO_NUM
+            # treats them as simply not-equal). eqNullSafe yields false
+            # instead, keeping the OR two-valued.
+            conds.append(_num(v).eqNullSafe(F.lit(float(raw))))
         elif val.startswith("*") and val.endswith("*") and len(val) > 1:
             conds.append(v.contains(val[1:-1]))
         elif val.endswith("*"):

@@ -113,3 +113,120 @@ class TestTagsModel:
         assert ids("*[name]") == [1, 3]
         assert ids("*[amenity=pub,cafe]") == [1, 2, 4]
         assert ids("*[name=*Ox]") == [1]
+
+
+class TestGoqlPropertyModel:
+    """Randomized (seeded) equivalence against an INDEPENDENT Python
+    model of the documented semantics (P1-P8: present excludes value
+    'no'; =/!= with value lists, wildcards, string→number duality;
+    negated ops accept missing keys; regex is full-match). The driver's
+    DuckDB oracle pins two fixed queries — this pins the PARSER across
+    hundreds of generated ones, all evaluated in ONE Spark job."""
+
+    KEYS = ["lang", "source", "n", "amenity", "name_x"]
+    VALUES = ["yes", "no", "3", "42", "x1", "src1a", "cafe", ""]
+
+    @staticmethod
+    def _model_clause(tags, clause):
+        import re as _re
+        NUM = _re.compile(r"^-?\d+(\.\d+)?$")
+        clause = clause.strip()
+        if clause.startswith("!"):
+            v = tags.get(clause[1:].strip())
+            return v is None or v == "no"
+        m = _re.match(r"^([A-Za-z_][\w:]*)\s*(!~|~|!=|>=|<=|=|>|<)?\s*(.*)$",
+                      clause)
+        key, op, rhs = m.group(1), m.group(2), m.group(3).strip()
+        v = tags.get(key)
+        if not op:
+            return v is not None and v != "no"
+        if op in ("~", "!~"):
+            pat = rhs.strip("\"'")
+            hit = v is not None and _re.fullmatch(pat, v) is not None
+            return hit if op == "~" else (v is None or not hit)
+        if op in (">", ">=", "<", "<="):
+            try:
+                num = float(v)
+            except (TypeError, ValueError):
+                return False
+            n = float(rhs)
+            return {"<": num < n, "<=": num <= n,
+                    ">": num > n, ">=": num >= n}[op]
+        hits = []
+        for raw in [x.strip() for x in rhs.split(",") if x.strip()]:
+            val = raw.strip("\"'")
+            if NUM.match(raw):
+                try:
+                    hits.append(float(v) == float(raw))
+                except (TypeError, ValueError):
+                    hits.append(False)
+            elif val.startswith("*") and val.endswith("*") and len(val) > 1:
+                hits.append(v is not None and val[1:-1] in v)
+            elif val.endswith("*"):
+                hits.append(v is not None and v.startswith(val[:-1]))
+            elif val.startswith("*"):
+                hits.append(v is not None and v.endswith(val[1:]))
+            else:
+                hits.append(v is not None and v == val)
+        any_hit = any(hits)
+        if op == "!=":
+            return v is None or not any_hit
+        return v is not None and any_hit
+
+    def _gen_queries(self, rng, n):
+        out = []
+        for _ in range(n):
+            clauses = []
+            for _ in range(rng.randint(1, 3)):
+                k = rng.choice(self.KEYS)
+                kind = rng.randrange(7)
+                if kind == 0:
+                    clauses.append(k)
+                elif kind == 1:
+                    clauses.append("!" + k)
+                elif kind == 2:
+                    vals = ",".join(rng.choice(self.VALUES[:-1])
+                                    for _ in range(rng.randint(1, 3)))
+                    clauses.append(f"{k}{rng.choice(['=', '!='])}{vals}")
+                elif kind == 3:
+                    v = rng.choice(["x1", "src1a", "cafe", "yes"])
+                    w = rng.choice([f"*{v[1:]}", f"{v[:-1]}*",
+                                    f"*{v[1:-1]}*" if len(v) > 2 else f"{v}*"])
+                    clauses.append(f"{k}={w}")
+                elif kind == 4:
+                    clauses.append(
+                        f"{k}{rng.choice(['>', '>=', '<', '<='])}"
+                        f"{rng.choice(['3', '10', '42'])}")
+                elif kind == 5:
+                    clauses.append(f"{k}{rng.choice(['~', '!~'])}"
+                                   f"{rng.choice(['x.*', 's.c1a', 'y..'])}")
+                else:
+                    clauses.append(f"{k}={rng.choice(['3', '42'])}")
+            out.append("*" + "".join(f"[{c}]" for c in clauses))
+        return out
+
+    def test_random_queries_match_model(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from libgeodesk_spark.functions.goql import (
+            compile_goql, tags_resolver)
+        rng = random.Random(20260817)
+        rows = []
+        for i in range(300):
+            tags = {k: rng.choice(self.VALUES)
+                    for k in self.KEYS if rng.random() < 0.6}
+            rows.append((i, tags))
+        queries = self._gen_queries(rng, 60)
+        df = spark.createDataFrame(rows, "row_id long, tags map<string,string>")
+        cols = [F.when(compile_goql(q, resolver=tags_resolver("tags")),
+                       1).otherwise(0).alias(f"q{i}")
+                for i, q in enumerate(queries)]
+        got = {r["row_id"]: r for r in df.select("row_id", *cols).collect()}
+        for i, (rid, tags) in enumerate(rows):
+            r = got[rid]
+            for qi, q in enumerate(queries):
+                want = all(self._model_clause(tags, c)
+                           for c in q[2:-1].split("]["))
+                assert r[f"q{qi}"] == int(want), (q, tags)
