@@ -63,3 +63,43 @@ class TestAsofJoin:
             "k long, ts long, a int, b string")
         row = asof_join(left, right, ["k"], "ts", ["a", "b"]).collect()[0]
         assert row.r_b == "y" and row.r_a is None   # both from ts=7
+
+
+def test_asof_random_model(spark):
+    """Seeded random timelines (duplicate left ts, keys with empty right
+    side, interleaved epochs) vs an independent Python model: each left
+    row carries the payload of the LATEST right row with right.ts <=
+    left.ts for its key, NULL when none precedes."""
+    import random
+
+    from libgeodesk_spark.operators.asof import asof_join
+    rng = random.Random(99)
+    lrows, rrows = [], []
+    for i in range(400):
+        k = rng.randrange(8)
+        lrows.append((i, k, rng.randrange(50)))
+    for j in range(300):
+        k = rng.randrange(6)          # keys 6,7 never get right rows
+        rrows.append((1000 + j, k, rng.randrange(50)))
+    # dedupe right on (key, ts): multiple right rows at the same (k, ts)
+    # are ambiguous in every engine (documented contract)
+    seen = set()
+    rdedup = []
+    for rid, k, ts in rrows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rdedup.append((rid, k, ts))
+    left = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    right = spark.createDataFrame(rdedup, "rid long, k long, ts long")
+    got = {r["lid"]: r["r_rid"] for r in
+           asof_join(left, right, ["k"], "ts", ["rid"]).collect()}
+    assert len(got) == len(lrows)
+    best = {}
+    for rid, k, ts in rdedup:
+        cur = best.get(k, [])
+        cur.append((ts, rid))
+        best[k] = cur
+    for lid, k, ts in lrows:
+        cands = [(rts, rid) for rts, rid in best.get(k, []) if rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, ts)

@@ -278,3 +278,36 @@ class TestPipeline:
         a = set(map(tuple, approx[["qid", "vec_id"]].values.tolist()))
         assert len(a) == len(e)
         assert len(e & a) >= len(e) * 0.5
+
+
+def test_phash_banded_matches_brute_hamming(spark):
+    """Pigeonhole completeness of the 4x16-bit banded self-join: ALL
+    pairs at hamming <= 3 over seeded random 64-bit hashes (plus planted
+    1-3-bit twins) — banding can only over-candidate, never miss, so the
+    exact pair set must equal the brute O(n²) scan."""
+    import random
+
+    from libgeodesk_spark.operators.dedup import phash_near_dups
+    rng = random.Random(13)
+    hashes = {}
+    for i in range(150):
+        hashes[f"h{i:03d}"] = rng.getrandbits(64) - (1 << 63)
+    for i in range(0, 150, 10):          # planted twins at 1-3 bit flips
+        base = hashes[f"h{i:03d}"]
+        flip = 0
+        for b in rng.sample(range(64), rng.randint(1, 3)):
+            flip |= 1 << b
+        hashes[f"h{i:03d}t"] = (base ^ flip) - (1 << 64) \
+            if (base ^ flip) >= (1 << 63) else base ^ flip
+    rows = list(hashes.items())
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r.id_a, r.id_b) for r in phash_near_dups(df).collect()}
+    want = set()
+    ids = sorted(hashes)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin((hashes[ids[i]] ^ hashes[ids[j]])
+                    & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((ids[i], ids[j]))
+    assert got == want and len(want) >= 15
