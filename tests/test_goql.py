@@ -124,7 +124,7 @@ class TestGoqlPropertyModel:
     hundreds of generated ones, all evaluated in ONE Spark job."""
 
     KEYS = ["lang", "source", "n", "amenity", "name_x"]
-    VALUES = ["yes", "no", "3", "42", "x1", "src1a", "cafe", ""]
+    VALUES = ["yes", "no", "3", "42", "-2", "3.5", "x1", "src1a", "cafe", ""]
 
     @staticmethod
     def _model_clause(tags, clause):
@@ -196,12 +196,12 @@ class TestGoqlPropertyModel:
                 elif kind == 4:
                     clauses.append(
                         f"{k}{rng.choice(['>', '>=', '<', '<='])}"
-                        f"{rng.choice(['3', '10', '42'])}")
+                        f"{rng.choice(['3', '10', '42', '-2', '3.5'])}")
                 elif kind == 5:
                     clauses.append(f"{k}{rng.choice(['~', '!~'])}"
                                    f"{rng.choice(['x.*', 's.c1a', 'y..'])}")
                 else:
-                    clauses.append(f"{k}={rng.choice(['3', '42'])}")
+                    clauses.append(f"{k}={rng.choice(['3', '42', '-2', '3.5'])}")
             out.append("*" + "".join(f"[{c}]" for c in clauses))
         return out
 
