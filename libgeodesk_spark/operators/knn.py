@@ -334,7 +334,10 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
 
     ``queries``: optional DataFrame with the same id/x/y columns to
     restrict the query side (the join's left side); candidates are
-    always the full ``points``.
+    always the full ``points``. An external query frame caps k at n (all
+    candidates are legitimate neighbors — only the self-join case has an
+    n-1 ceiling); equal-id pairs are still excluded pairwise, so a query
+    frame that IS a subset of ``points`` keeps self-exclusion semantics.
 
     Exactness domain: d² is int64, so coordinate deltas must satisfy
     dx²+dy² < 2^63 — any dataset inside a half-world span (~3·10⁹
@@ -356,7 +359,14 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
         F.col(x_col).cast("long").alias("ax"),
         F.col(y_col).cast("long").alias("ay"))
     n_candidates = b_base.count()          # also materializes the cache
-    kk = min(k, max(n_candidates - 1, 0))
+    # self-join (queries is None) excludes each point itself, so at most
+    # n-1 neighbors exist; an EXTERNAL query frame has no self-match —
+    # every candidate is a legitimate neighbor, and capping at n-1 there
+    # would return one fewer row per query than the ring path at
+    # k >= corpus size (the knn_batch delegation contract is
+    # row-identical across the 512-query threshold)
+    kk = min(k, n_candidates if queries is not None
+             else max(n_candidates - 1, 0))
     if kk == 0:
         return pending.limit(0).select(
             F.col("id_a"), F.lit(0).alias("id_b"),

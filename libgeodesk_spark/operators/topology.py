@@ -117,8 +117,10 @@ def members_recursive(membership: DataFrame, rel_ids: Sequence,
 
     Spark shape: BFS closure as an ITERATIVE equi-join. Each round joins
     the frontier's relation-typed members back to the membership table,
-    then anti-joins against the (root_id, member_id) seen-set — the
-    distributed RecursionGuard: a member reached before (including through
+    then anti-joins against the (root_id, member_id, mtype) seen-set — the
+    distributed RecursionGuard, keyed like the reference's TYPED
+    FeatureId (way 5 and relation 5 are distinct members — separate OSM
+    id namespaces): a member reached before (including through
     a CYCLE back to any ancestor) never re-enters the frontier, so the
     loop terminates on arbitrary cyclic graphs in <= max_depth rounds and
     each member lands at its MINIMUM depth (BFS order). Per-round state is
@@ -126,7 +128,7 @@ def members_recursive(membership: DataFrame, rel_ids: Sequence,
     plan re-executes from scratch each round.
 
     Output: (root_id, member_id, mtype, depth>=1) — one row per first
-    reachable (root, member); ``depth`` is the shortest member-chain
+    reachable (root, member, mtype); ``depth`` is the shortest member-chain
     length. Scale: each round is one shuffle join frontier×membership +
     one anti-join; the frontier shrinks to relation-typed fan-out only,
     and real member forests are depth <=10 (the cap is a guard, not a
@@ -149,8 +151,8 @@ def members_recursive(membership: DataFrame, rel_ids: Sequence,
                .select("root_id", "member_id", "mtype",
                        F.lit(depth).alias("depth"))
                .distinct()
-               .join(seen.select("root_id", "member_id"),
-                     ["root_id", "member_id"], "left_anti")
+               .join(seen.select("root_id", "member_id", "mtype"),
+                     ["root_id", "member_id", "mtype"], "left_anti")
                .localCheckpoint(eager=True))
         if nxt.isEmpty():
             return seen

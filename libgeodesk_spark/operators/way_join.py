@@ -509,7 +509,12 @@ def way_crossing(ways: DataFrame, zone: PreparedZone | list[PreparedZone],
             F.element_at(ring_col, i)["y"].alias("y1"),
             F.element_at(ring_col, i + 1)["x"].alias("x2"),
             F.element_at(ring_col, i + 1)["y"].alias("y2"))))
-    segs = ways.select(F.col(id_col), seg.alias("s")) \
+    # size(ring) < 2 would make sequence(1, size-1) STEP DOWN (Spark
+    # auto-negates the step), yielding index 0 into a 1-based array —
+    # runtime error instead of zero segments; degenerate ways have no
+    # segments to cross anything
+    segs = ways.filter(F.size(ring_col) >= 2) \
+        .select(F.col(id_col), seg.alias("s")) \
         .select(id_col, "s.x1", "s.y1", "s.x2", "s.y2")
     hit = crossing_segments(segs, zones, join_zoom=join_zoom)
     if len(zones) == 1:

@@ -119,10 +119,24 @@ class SnapshotTable:
         return out
 
     def commit_tags(self) -> set[str]:
-        """Idempotence tags of every published snapshot (the Iceberg
+        """Idempotence tags of every commit EVER published (the Iceberg
         streaming-sink contract: each snapshot summary records the
         (queryId, epochId) that produced it, and a replayed epoch is
-        skipped when its tag is already present)."""
+        skipped when its tag is already present).
+
+        Each manifest carries the CUMULATIVE tag set of its whole commit
+        history (``tags``), so this is one JSON read per call — not one
+        per version (the naive per-epoch scan is quadratic over a
+        stream's life) — and ``expire_snapshots`` deleting old manifests
+        cannot lose a tag: the newest manifest still carries it, so a
+        replayed pre-expiry epoch stays deduplicated (exactly-once
+        survives retention). ~30 bytes/epoch of manifest overhead —
+        10⁵ epochs ≈ 3 MB, the compact-tag-index trade Iceberg makes
+        with its snapshot-summary log."""
+        man = self.manifest()
+        if "tags" in man or man["version"] == 0:
+            return set(man.get("tags", ()))
+        # legacy table (pre-tag-index manifests): one-time full scan
         out = set()
         for v in range(1, self.current_version() + 1):
             try:
@@ -187,11 +201,20 @@ class SnapshotTable:
         df.write.mode("error").parquet(data_dir)
         new_files = [p for p in glob.glob(os.path.join(data_dir, "*.parquet"))]
         entries = self._collect_stats(spark, new_files) if new_files else []
-        prior = self.manifest(base)["files"] if mode == "append" else []
+        base_man = self.manifest(base)
+        prior = base_man["files"] if mode == "append" else []
+        # cumulative tag index (see commit_tags): carried forward in BOTH
+        # modes — overwrite replaces the file list, never commit history
+        if "tags" in base_man or base_man["version"] == 0:
+            tags = list(base_man.get("tags", ()))
+        else:                       # legacy base: fold old per-version tags in
+            tags = sorted(self.commit_tags())
+        if tag and tag not in tags:
+            tags.append(tag)
         version = base + 1
         manifest = {"version": version, "base": base, "mode": mode,
                     "commit_id": commit_id, "files": prior + entries,
-                    "tag": tag}
+                    "tag": tag, "tags": tags}
         # immutable, commit-unique manifest file — concurrent writers on
         # the same version write DIFFERENT files, so nothing to race on
         with open(self._manifest_path(version, commit_id), "w") as f:

@@ -129,6 +129,28 @@ class TestSnapshotTable:
         assert live <= on_disk
         assert on_disk == live   # compacted table references all remaining
 
+    def test_commit_tags_survive_expiry(self, spark, tbl):
+        """The cumulative tag index: commit_tags() reads ONE manifest
+        (not one per version), and tags of EXPIRED snapshots persist —
+        a replayed pre-expiry epoch must still be deduplicated or the
+        exactly-once committer would double-commit after retention."""
+        for e in range(3):
+            tbl.commit(_mk(spark, e * 10, e * 10 + 10), tag=f"q:{e}")
+        tbl.commit(_mk(spark, 0, 5), mode="overwrite")   # untagged, carries
+        assert tbl.commit_tags() == {"q:0", "q:1", "q:2"}
+        tbl.expire_snapshots(keep_last=1)
+        with pytest.raises(FileNotFoundError):
+            tbl.manifest(1)                   # old manifests truly gone
+        assert tbl.commit_tags() == {"q:0", "q:1", "q:2"}
+        # the index lives IN the newest manifest — one read, no scan
+        assert set(tbl.manifest()["tags"]) == {"q:0", "q:1", "q:2"}
+        # replay of an expired epoch: committer sees the tag and skips
+        from libgeodesk_spark.streaming.ingest import snapshot_batch_committer
+        v = tbl.current_version()
+        snapshot_batch_committer(tbl, "q")(_mk(spark, 0, 10), 1)
+        assert tbl.current_version() == v
+        assert tbl.read(spark).count() == 5
+
     def test_schema_evolution_add_column(self, spark, tbl):
         tbl.commit(_mk(spark, 0, 50))
         evolved = _mk(spark, 50, 80).withColumn("score", F.col("pid") * 2)

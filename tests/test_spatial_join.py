@@ -277,6 +277,24 @@ class TestKnnJoin:
         full = knn_join(df, 10).toPandas()
         assert len(full) == 4 * 3
 
+    def test_external_queries_k_at_corpus_size(self, spark):
+        """An EXTERNAL query frame (ids disjoint from the corpus, the
+        knn_batch delegation shape) has no self-match: at k >= corpus
+        size every query must get ALL n candidates, not n-1 — the
+        row-identical contract across the knn_batch join threshold."""
+        from libgeodesk_spark.operators.knn import knn_join
+        pts = spark.createDataFrame(
+            [(1, 0, 0), (2, 10, 0), (3, 0, 10)], "pid long, x long, y long")
+        q = spark.createDataFrame([(100, 1, 1)], "pid long, x long, y long")
+        got = sorted((r.rank, r.id_b, r.d2) for r in
+                     knn_join(pts, 5, queries=q).collect())
+        assert got == [(1, 1, 2), (2, 2, 82), (3, 3, 82)]
+        # a query frame that IS a corpus subset keeps self-exclusion
+        sub = sorted((r.rank, r.id_b) for r in
+                     knn_join(pts, 5, queries=pts.filter("pid = 1"))
+                     .collect())
+        assert sub == [(1, 2), (2, 3)]
+
     def test_knn_batch_matches_per_query_knn(self, spark, points):
         """knn_batch (JVM-generated candidate cell boxes) must equal the
         per-query ring-expansion knn for every query, including one far

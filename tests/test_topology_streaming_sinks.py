@@ -83,6 +83,20 @@ class TestTopology:
         got4 = members_recursive(memb, [4]).collect()
         assert [tuple(r) for r in got4] == [(4, 40, "way", 1)]
 
+    def test_members_recursive_typed_id_collision(self, spark):
+        """way 5 and relation 5 are DIFFERENT members (per-type OSM id
+        namespaces, the reference's typed FeatureId): both must appear in
+        the closure, and relation 5 must still be expanded even when way
+        5 was seen first — an id-only guard anti-joined it away and
+        silently truncated the walk."""
+        from libgeodesk_spark.operators.topology import members_recursive
+        memb = spark.createDataFrame(
+            [(1, 5, "way"), (1, 5, "relation"), (5, 99, "way")],
+            "rel_id long, member_id long, mtype string")
+        got = sorted(map(tuple, members_recursive(memb, [1]).collect()))
+        assert got == [(1, 5, "relation", 1), (1, 5, "way", 1),
+                       (1, 99, "way", 2)]
+
     def test_members_recursive_depth_guard(self, spark):
         from libgeodesk_spark.operators.topology import members_recursive
         memb = spark.createDataFrame(
@@ -126,13 +140,18 @@ class TestTopology:
             edges = []
             for r in range(n_rel):
                 for _ in range(rng.randint(1, 3)):
-                    edges.append((r, 100 + rng.randint(0, 9), "way"))
+                    # way ids OVERLAP the relation id range on purpose:
+                    # OSM id namespaces are per-type (the reference's
+                    # typed FeatureId), so way 3 and relation 3 coexist
+                    # and the guard must key on (id, type)
+                    edges.append((r, rng.randint(0, 9), "way"))
                 for _ in range(rng.randint(0, 2)):
                     edges.append((r, rng.randrange(n_rel), "relation"))
             edges = sorted(set(edges))
             roots = [0, rng.randrange(n_rel)]
 
-            # python BFS mirror
+            # python BFS mirror with a TYPED seen-set (RecursionGuard on
+            # FeatureId = type + id)
             want = set()
             for root in set(roots):
                 depth = {}
@@ -142,10 +161,10 @@ class TestTopology:
                 while frontier and d <= 32:
                     nxt = []
                     for m, t in frontier:
-                        if m in seen:
+                        if (m, t) in seen:
                             continue
-                        seen.add(m)
-                        depth[(m, t)] = min(depth.get((m, t), d), d)
+                        seen.add((m, t))
+                        depth[(m, t)] = d
                         if t == "relation":
                             nxt += [(m2, t2) for rr, m2, t2 in edges
                                     if rr == m]

@@ -68,6 +68,23 @@ def test_way_intersects(ways, zone):
                    "inside_area", "inside_line", "partial", "touching_corner"]
 
 
+def test_way_crossing_degenerate_rings(spark, zone):
+    """1-vertex (and empty) rings yield ZERO segments, not a runtime
+    error: sequence(1, size-1) auto-steps DOWN for size < 2 and
+    element_at(ring, 0) throws on 1-based arrays — degenerate ways must
+    be filtered before the segment explode."""
+    from libgeodesk_spark.operators.way_join import way_crossing
+    rows = [
+        ("one_vertex", [{"x": int(2 * Z), "y": int(2 * Z)}], False),
+        ("empty", [], False),
+        ("partial", ring_pts((2 * Z, 2 * Z), (6 * Z, 2 * Z))[:-1], False),
+    ]
+    df = spark.createDataFrame(
+        rows, "way_id string, ring array<struct<x:long,y:long>>, is_area boolean")
+    got = ids(way_crossing(df, zone))
+    assert got == ["partial"]
+
+
 def test_way_crossing(ways, zone):
     """Whole-way crossing wrapper (CrossesFilter.cpp:10-41): ways with a
     segment PROPERLY crossing or touching a zone edge — fully-inside and
