@@ -1,0 +1,133 @@
+"""Distributed zone preparation (operators/zoneprep.py): the executor-side
+mapInPandas prep must be BIT-IDENTICAL to the driver-side
+geom.zones.prepare_zone on the same WKB, artifacts must survive a
+parquet round-trip, and the downstream joins must be unchanged."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libgeodesk_spark.geom.wkb import (
+    multipolygon_to_wkb,
+    prepare_zone_from_wkb,
+    rings_to_wkb,
+)
+from libgeodesk_spark.operators.zoneprep import (
+    collect_prepared,
+    prepare_zones,
+    prepared_zones_df,
+)
+from libgeodesk_spark.sources.points import GATE_ZONES
+
+
+def _gate_zone_wkb_rows():
+    rows = []
+    for name, rings in GATE_ZONES.items():
+        arrs = [np.array(r, dtype=np.int64) for r in rings]
+        rows.append((name, bytearray(rings_to_wkb(arrs, merc=True))))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def zone_wkb_df(spark):
+    return spark.createDataFrame(_gate_zone_wkb_rows(),
+                                 "zone_id string, wkb binary")
+
+
+class TestZonePrepDistributed:
+    def test_bit_identical_to_driver_prep(self, spark, zone_wkb_df):
+        """Same WKB through the executor path and the driver path:
+        edges array, bbox, fitted zoom, and the full INSIDE/BOUNDARY
+        cover must match exactly — the classification kernels are
+        shared, so any drift is a serialization bug."""
+        got = {z.zone_id: z for z in prepare_zones(zone_wkb_df)}
+        assert set(got) == set(GATE_ZONES)
+        for name, data in _gate_zone_wkb_rows():
+            want = prepare_zone_from_wkb(name, bytes(data))
+            g = got[name]
+            assert g.zoom == want.zoom
+            assert g.bbox == want.bbox
+            np.testing.assert_array_equal(g.edges, want.edges)
+            assert g.cover == want.cover
+
+    def test_artifacts_survive_parquet_roundtrip(self, spark, zone_wkb_df,
+                                                 tmp_path):
+        """A prepared catalog persists (the point of artifact rows: prep
+        once, reuse across queries without re-running geometry)."""
+        path = str(tmp_path / "prepped")
+        prepared_zones_df(zone_wkb_df).write.parquet(path)
+        back = {z.zone_id: z
+                for z in collect_prepared(spark.read.parquet(path))}
+        for name, data in _gate_zone_wkb_rows():
+            want = prepare_zone_from_wkb(name, bytes(data))
+            np.testing.assert_array_equal(back[name].edges, want.edges)
+            assert back[name].cover == want.cover
+            assert back[name].bbox == want.bbox
+
+    def test_join_zones_unchanged(self, spark, zone_wkb_df):
+        """join_zones over executor-prepped zones == over driver-prepped
+        zones (the VERDICT 'gate rows unchanged' criterion)."""
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        from libgeodesk_spark.sources.points import derived_points
+        pts = derived_points(spark, "/root/testdata/sf0.001") \
+            .select("image_id", "x", "y", "cell_id")
+        dist = prepare_zones(zone_wkb_df)
+        driv = [prepare_zone_from_wkb(n, bytes(d))
+                for n, d in _gate_zone_wkb_rows()]
+        a = sorted(map(tuple, join_zones(pts, dist, predicate="within")
+                       .select("image_id", "zone_id").collect()))
+        b = sorted(map(tuple, join_zones(pts, driv, predicate="within")
+                       .select("image_id", "zone_id").collect()))
+        assert a == b and len(a) > 0
+
+    def test_catalog_scale_counts_and_spotcheck(self, spark):
+        """A 200-zone synthetic catalog preps fully distributed
+        (n_slices spreads zones), artifact stats are consistent, and a
+        random sample is equivalent to driver prep."""
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(200):
+            cx = int(rng.integers(-1_000_000_000, 1_000_000_000))
+            cy = int(rng.integers(-900_000_000, 900_000_000))
+            r = int(rng.integers(50_000, 3_000_000))
+            k = int(rng.integers(3, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            ring = np.stack([cx + (r * np.cos(ang)).astype(np.int64),
+                             cy + (r * np.sin(ang)).astype(np.int64)],
+                            axis=1)
+            ring = np.vstack([ring, ring[:1]])
+            rows.append((f"z{i:04d}",
+                         bytearray(rings_to_wkb([ring], merc=True))))
+        df = spark.createDataFrame(rows, "zone_id string, wkb binary")
+        prepped = prepared_zones_df(df, n_slices=8).persist()
+        stats = prepped.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("n_inside") + F.col("n_boundary") > 0)
+                  .cast("int")).alias("nonempty"),
+            F.min("n_edges").alias("min_edges")).first()
+        assert stats["n"] == 200 and stats["min_edges"] >= 3
+        assert stats["nonempty"] == 200
+        sample = {r[0]: r[1] for r in rows}
+        got = {z.zone_id: z for z in collect_prepared(
+            prepped.filter(F.col("zone_id").isin(
+                ["z0000", "z0077", "z0199"])))}
+        for zid, z in got.items():
+            want = prepare_zone_from_wkb(zid, bytes(sample[zid]))
+            np.testing.assert_array_equal(z.edges, want.edges)
+            assert z.cover == want.cover
+        prepped.unpersist()
+
+    def test_multipolygon_wkb(self, spark):
+        """MultiPolygon zones (two disjoint squares) prep correctly —
+        both parts contribute cover."""
+        s = 1 << 22
+        sq1 = np.array([[0, 0], [s, 0], [s, s], [0, s], [0, 0]],
+                       dtype=np.int64)
+        sq2 = sq1 + 4 * s
+        data = multipolygon_to_wkb([[sq1], [sq2]], merc=True)
+        df = spark.createDataFrame([("mp", bytearray(data))],
+                                   "zone_id string, wkb binary")
+        [z] = prepare_zones(df)
+        want = prepare_zone_from_wkb("mp", data)
+        np.testing.assert_array_equal(z.edges, want.edges)
+        assert z.cover == want.cover and len(z.cover) > 0
