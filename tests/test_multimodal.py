@@ -21,9 +21,100 @@ class TestFakeCodecs:
         assert np.array_equal(back, v)
 
     def test_real_codec_gate(self, monkeypatch):
+        # compressed audio (mp3 magic) still needs external codecs —
+        # WAV is the real dependency-free path, FAUD the fake one
+        with pytest.raises(NotImplementedError, match="mp3"):
+            mm.decode_audio(b"ID3\x03" + b"\x00" * 10)
         monkeypatch.setattr(mm, "REAL_CODECS", True)
-        with pytest.raises(NotImplementedError, match="audio decode"):
-            mm.decode_audio(b"FAUD" + b"\x00" * 10)
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            mm.decode_video(b"FVID" + b"\x00" * 10)
+
+
+class TestRealWav:
+    """REAL container coverage (VERDICT r3 #5): RIFF/WAVE PCM decodes
+    byte-exactly with no external library; NotImplementedError remains
+    only for video/compressed audio."""
+
+    def _reference_wav(self, q: np.ndarray, rate: int = 8000) -> bytes:
+        """Hand-rolled WAV built INDEPENDENTLY of encode_wav — includes
+        a LIST/INFO metadata chunk before data and an odd-sized data
+        chunk with pad byte, the real-world shapes a chunk walker must
+        survive."""
+        import struct
+        data = q.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        # ODD-sized LIST chunk (declared 17 bytes) + its pad byte — the
+        # walker must advance by size + (size & 1) to find `data`
+        lst = b"INFOISFT" + struct.pack("<I", 5) + b"test\x00"
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"LIST" + struct.pack("<I", len(lst)) + lst + b"\x00"
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_decode_reference_wav_byte_exact(self):
+        rng = np.random.default_rng(3)
+        q = rng.integers(-32768, 32767, 777, dtype=np.int16)
+        wav = self._reference_wav(q)
+        s, rate = mm.decode_audio(wav)
+        assert rate == 8000 and len(s) == 777
+        # byte-exact: re-quantizing the decoded floats reproduces the
+        # original int16 PCM words exactly
+        back = np.clip(np.rint(s * 32767), -32768, 32767).astype(np.int16)
+        assert np.array_equal(back, q)
+
+    def test_encode_decode_roundtrip_exact(self):
+        s = mm.synth_audio(5, 12345, 16000)
+        wav = mm.encode_wav(s, 16000)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        got, rate = mm.decode_wav(wav)
+        assert rate == 16000
+        # int16-quantized round trip is exact (same quantizer as FAUD)
+        fake_back, _ = mm.decode_audio(mm.encode_audio(s, 16000))
+        assert np.array_equal(got, fake_back)
+        # re-encode reproduces the container bytes exactly
+        assert mm.encode_wav(got, 16000) == wav
+
+    def test_stereo_and_alt_formats(self):
+        import struct
+        st = np.stack([np.linspace(-0.5, 0.5, 100, dtype=np.float32),
+                       np.linspace(0.5, -0.5, 100, dtype=np.float32)],
+                      axis=1)
+        got, rate = mm.decode_wav(mm.encode_wav(st, 44100))
+        assert rate == 44100 and got.shape == (100, 2)
+        assert float(np.max(np.abs(got - st))) < 1e-4
+        # float32 (format 3) decodes exactly
+        f32 = st[:, 0]
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        data = f32.astype("<f4").tobytes()
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        got2, _ = mm.decode_wav(wav)
+        assert np.array_equal(got2, f32)
+        # 8-bit unsigned PCM
+        q8 = np.array([0, 128, 255], dtype=np.uint8)
+        fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body8 = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+                 + b"data" + struct.pack("<I", 3) + q8.tobytes() + b"\x00")
+        wav8 = b"RIFF" + struct.pack("<I", len(body8)) + body8
+        got8, _ = mm.decode_wav(wav8)
+        assert np.allclose(got8, [(0 - 128) / 127, 0.0, 1.0])
+
+    def test_audio_features_over_real_wav(self, spark):
+        """The Spark feature path runs unchanged over REAL WAV payloads
+        — container dispatch happens inside the Arrow batch."""
+        rows = [(f"wav{i}",
+                 mm.encode_wav(mm.synth_audio(i, 8000), 16000),
+                 16000, 8000, 1, "wav") for i in range(4)]
+        df = spark.createDataFrame(rows, mm.AUDIO_SCHEMA)
+        got = mm.audio_features(df).toPandas().sort_values("clip_id")
+        fake = spark.createDataFrame(
+            [(f"wav{i}", mm.encode_audio(mm.synth_audio(i, 8000), 16000),
+              16000, 8000, 1, "faud") for i in range(4)], mm.AUDIO_SCHEMA)
+        want = mm.audio_features(fake).toPandas().sort_values("clip_id")
+        # identical features: same quantizer, different container
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
 
 
 @pytest.fixture(scope="module")
