@@ -728,6 +728,53 @@ def _q_ann_recall_d256(spark, sf_dir):
                                 RECALL_FLOORS_D256)
 
 
+def _q_zoneprep_within(spark, sf_dir):
+    """INTEGRATION row for the DISTRIBUTED zone-prep path (operators/
+    zoneprep.py): gate zones serialized to WKB → executor-side
+    mapInPandas prep (edges + exact cover) → driver assembly → the
+    standard broadcast within-join over all three zones at once.
+    Correct iff the distributed prep is bit-identical to the driver
+    prep AND the multi-zone join is exact — the oracle is the per-zone
+    PIP SQL union."""
+    import numpy as np
+
+    from libgeodesk_spark.geom.wkb import rings_to_wkb
+    from libgeodesk_spark.operators.spatial_join import join_zones
+    from libgeodesk_spark.operators.zoneprep import prepare_zones
+    from libgeodesk_spark.sources.points import GATE_ZONES
+    wkb = spark.createDataFrame(
+        [(n, bytearray(rings_to_wkb([np.array(r) for r in rings],
+                                    merc=True)))
+         for n, rings in GATE_ZONES.items()],
+        "zone_id string, wkb binary")
+    zones = prepare_zones(wkb, n_slices=4)
+    pts = _points(spark, sf_dir)
+    return join_zones(pts, zones, predicate="within",
+                      columns=["image_id"]).select("image_id", "zone_id")
+
+
+def _q_snapshot_evolved(spark, sf_dir):
+    """Schema evolution end-to-end (field-id mapping, catalog.py):
+    commit even-pid points with a salt column, RENAME cell_id→tile_id
+    (metadata-only), DROP salt (metadata-only), append odd-pid points
+    under the new schema, then scan. Correct iff renamed columns serve
+    old files' bytes, dropped columns vanish, and no row is lost — the
+    oracle is a plain projection with the rename applied."""
+    import tempfile
+
+    from libgeodesk_spark.sources.catalog import SnapshotTable
+    pts = _points(spark, sf_dir).select("image_id", "pid", "cell_id", "salt")
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="spark_graft_evo_") + "/t",
+                        stat_cols=("cell_id",))
+    tbl.commit(pts.filter(F.col("pid") % 2 == 0))
+    tbl.rename_column(spark, "cell_id", "tile_id")
+    tbl.drop_column(spark, "salt")
+    tbl.commit(pts.filter(F.col("pid") % 2 != 0)
+               .select("image_id", "pid",
+                       F.col("cell_id").alias("tile_id")))
+    return tbl.read(spark).select("image_id", "pid", "tile_id")
+
+
 KNN_BATCH_QUERIES = [
     ("qa", 90_500_000, 642_500_000),
     ("qb", 93_000_000, 644_000_000),
@@ -1092,6 +1139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every round. After r4 every query's newest driver record is <= 1
     round old."""
     return {
+        # --- NEW this round (no driver record yet) --------------------
+        "zoneprep_within": _q_zoneprep_within,
+        "snapshot_evolved": _q_snapshot_evolved,
         # --- last driver record r2: lead the r4 window ----------------
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
@@ -1515,6 +1565,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE pid % 2 = 0
           AND cell_id BETWEEN {SNAP_CELL_RANGE[0]} AND {SNAP_CELL_RANGE[1]}"""
     out["snapshot_within"] = within_sql(GATE_ZONES["comb"])
+    out["zoneprep_within"] = " UNION ALL ".join(
+        f"""SELECT * FROM ({within_sql(rings,
+                select_cols=f"image_id, '{name}' AS zone_id")})"""
+        for name, rings in GATE_ZONES.items())
+    out["snapshot_evolved"] = f"""{pc}
+        SELECT image_id, pid, cell_id AS tile_id FROM pts"""
     from libgeodesk_spark.operators.dedup import phash_near_dups_sql
     out["phash_near_dups"] = f"""{pc},
         imgs AS (
