@@ -25,9 +25,10 @@ class TestFakeCodecs:
         # WAV is the real dependency-free path, FAUD the fake one
         with pytest.raises(NotImplementedError, match="mp3"):
             mm.decode_audio(b"ID3\x03" + b"\x00" * 10)
-        monkeypatch.setattr(mm, "REAL_CODECS", True)
+        # compressed video (mp4 ftyp box) needs ffmpeg — AVI is the real
+        # dependency-free path, FVID the fake one
         with pytest.raises(NotImplementedError, match="ffmpeg"):
-            mm.decode_video(b"FVID" + b"\x00" * 10)
+            mm.decode_video(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8)
 
 
 class TestRealWav:
@@ -100,6 +101,52 @@ class TestRealWav:
         wav8 = b"RIFF" + struct.pack("<I", len(body8)) + body8
         got8, _ = mm.decode_wav(wav8)
         assert np.allclose(got8, [(0 - 128) / 127, 0.0, 1.0])
+
+    def test_decode_real_avi_byte_exact(self):
+        """Uncompressed RIFF/AVI round-trips EXACTLY, including the
+        4-byte row padding path (odd width) and a JUNK chunk spliced in
+        before movi (real muxers emit those; the walker must skip)."""
+        import struct
+        v = mm.synth_video(3, 17, 8, 6)          # odd width → row pad
+        avi = mm.encode_avi(v, fps=8)
+        back, fps = mm.decode_video(avi)          # dispatch via RIFF magic
+        assert fps == 8 and np.array_equal(back, v)
+        # splice a JUNK chunk right after 'AVI ' and fix the RIFF size
+        junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+        patched = (b"RIFF"
+                   + struct.pack("<I", struct.unpack("<I", avi[4:8])[0]
+                                 + len(junk))
+                   + avi[8:12] + junk + avi[12:])
+        back2, _ = mm.decode_avi(patched)
+        assert np.array_equal(back2, v)
+
+    def test_avi_compressed_stream_raises(self):
+        """A compressed vids stream (biCompression != 0) is the honest
+        remaining stub — explicit NotImplementedError, not garbage."""
+        import struct
+        avi = bytearray(mm.encode_avi(mm.synth_video(1, 16, 8, 2), 8))
+        i = bytes(avi).find(b"strf")
+        # biCompression lives 16 bytes into the BITMAPINFOHEADER
+        struct.pack_into("<I", avi, i + 8 + 16, 0x34363268)   # 'h264'
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            mm.decode_avi(bytes(avi))
+
+    def test_frame_sampling_over_real_avi(self, spark):
+        """sample_frames works identically over real AVI payloads and
+        the fake FVID container — dispatch inside the Arrow batch."""
+        vids = [mm.synth_video(i, 16, 16, 8) for i in range(3)]
+        rows_avi = [(f"v{i}", mm.encode_avi(v, 8), 16, 16, 8, 8, "avi")
+                    for i, v in enumerate(vids)]
+        rows_fak = [(f"v{i}", mm.encode_video(v, 8), 16, 16, 8, 8, "fvid")
+                    for i, v in enumerate(vids)]
+        got = mm.sample_frames(
+            spark.createDataFrame(rows_avi, mm.VIDEO_SCHEMA), 4).toPandas()
+        want = mm.sample_frames(
+            spark.createDataFrame(rows_fak, mm.VIDEO_SCHEMA), 4).toPandas()
+        key = ["video_id", "frame_no"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert got.equals(want)
 
     def test_audio_features_over_real_wav(self, spark):
         """The Spark feature path runs unchanged over REAL WAV payloads
