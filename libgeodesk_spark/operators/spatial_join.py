@@ -248,8 +248,17 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
                single_pass: bool = False,
                spread_boundary: bool = False,
                jvm_pip: bool = False,
-               max_broadcast_edges: int = EDGE_BROADCAST_LIMIT) -> DataFrame:
+               max_broadcast_edges: int = EDGE_BROADCAST_LIMIT,
+               intervals=None) -> DataFrame:
     """points × zones point-in-polygon join.
+
+    ``intervals``: optional pre-computed run-length interval table (a
+    pandas DataFrame with cell_row/c0/c1/zone_id/cover — the
+    operators.zoneprep artifact form). When given, the broadcast build
+    side is taken AS-IS and the zones' ``cover`` dicts are never read —
+    the large-catalog path where covers stay executor-side
+    (zoneprep.collect_prepared_light). Requires the broadcast-edges
+    regime (the shuffle-cogroup fallback needs full covers).
 
     Returns ``columns`` (default: all input columns) plus ``zone_id`` — one
     row per (point, zone) membership, exactly matching the reference
@@ -297,6 +306,10 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
                             x_col=x_col, y_col=y_col,
                             prefilter_bbox=prefilter_bbox, columns=columns,
                             single_pass=single_pass,
+                            intervals=None if intervals is None else
+                            intervals[intervals["zone_id"].isin(
+                                {z.zone_id for z in zones
+                                 if z.zoom == zm})],
                             spread_boundary=spread_boundary,
                             jvm_pip=jvm_pip,
                             max_broadcast_edges=max_broadcast_edges)
@@ -314,6 +327,13 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
     final_cols = list(dict.fromkeys(out_cols + ["zone_id"]))
 
     if total_edges > max_broadcast_edges:
+        if intervals is not None:
+            raise ValueError(
+                "intervals= (cover-less zones) requires the broadcast "
+                "regime; this zone set's edges exceed "
+                f"{max_broadcast_edges} — collect full covers "
+                "(zoneprep.collect_prepared) for the shuffle-cogroup "
+                "fallback")
         k, fb_covers = _fit_fallback_covers(zones)
         fb_zoom = cover_zoom - k
         points = points.select(
@@ -361,7 +381,20 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
         .alias("_cc"),
         F.shiftright(F.lit(0x7FFFFFFF) - F.col(y_col).cast("long"), shift)
         .alias("_rr"))
-    iv = zone_intervals_df(spark, zones)
+    if intervals is not None:
+        from pyspark.sql import types as _T
+        iv_schema = _T.StructType([
+            _T.StructField("cell_row", _T.LongType(), False),
+            _T.StructField("c0", _T.LongType(), False),
+            _T.StructField("c1", _T.LongType(), False),
+            _T.StructField("zone_id", _T.StringType(), False),
+            _T.StructField("cover", _T.IntegerType(), False),
+        ])
+        iv = spark.createDataFrame(
+            intervals[["cell_row", "c0", "c1", "zone_id", "cover"]],
+            iv_schema)
+    else:
+        iv = zone_intervals_df(spark, zones)
     cand = points.join(
         F.broadcast(iv),
         (F.col("_rr") == F.col("cell_row"))

@@ -51,6 +51,14 @@ PREP_SCHEMA = T.StructType([
     T.StructField("edges", T.BinaryType(), False),       # (M,4) int64 LE
     T.StructField("cover_keys", T.BinaryType(), False),  # int64 LE
     T.StructField("cover_vals", T.BinaryType(), False),  # int8
+    # run-length intervals of the cover, PRE-COMPUTED executor-side
+    # ((cell_row, c0, c1, cover) int64x3 + int8): the broadcast build
+    # side of the interval join without any driver cover-dict pass —
+    # interval count ~ perimeter rows, 10²-10³x smaller than the cover
+    T.StructField("iv_rows", T.BinaryType(), False),     # int64 LE
+    T.StructField("iv_c0", T.BinaryType(), False),       # int64 LE
+    T.StructField("iv_c1", T.BinaryType(), False),       # int64 LE
+    T.StructField("iv_cover", T.BinaryType(), False),    # int8
 ])
 
 
@@ -88,12 +96,41 @@ def prepared_zones_df(zones: DataFrame, id_col: str = "zone_id",
     return src.mapInPandas(go, schema=PREP_SCHEMA)
 
 
+def _rle_intervals(keys: np.ndarray, vals: np.ndarray):
+    """Run-length encode a packed-key cover into (rows, c0, c1, cover)
+    arrays — the same representation as spatial_join.zone_intervals_df,
+    computed where the cover already lives (the executor)."""
+    out_r, out_c0, out_c1, out_cv = [], [], [], []
+    cols = keys >> 20
+    rows = keys & 0xFFFFF
+    for cv in (INSIDE, BOUNDARY):
+        m = vals == cv
+        if not m.any():
+            continue
+        order = np.lexsort((cols[m], rows[m]))
+        rs, cs = rows[m][order], cols[m][order]
+        newrun = np.ones(len(rs), dtype=bool)
+        newrun[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1] + 1)
+        starts = np.flatnonzero(newrun)
+        ends = np.concatenate([starts[1:] - 1, [len(rs) - 1]])
+        out_r.append(rs[starts])
+        out_c0.append(cs[starts])
+        out_c1.append(cs[ends])
+        out_cv.append(np.full(len(starts), cv, dtype=np.int8))
+    if not out_r:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, np.zeros(0, dtype=np.int8)
+    return (np.concatenate(out_r), np.concatenate(out_c0),
+            np.concatenate(out_c1), np.concatenate(out_cv))
+
+
 def _serialize(pz: PreparedZone) -> dict:
     n = len(pz.cover)
     keys = np.fromiter(pz.cover.keys(), dtype=np.int64, count=n)
     vals = np.fromiter(pz.cover.values(), dtype=np.int8, count=n)
     order = np.argsort(keys)               # canonical order → stable bytes
     keys, vals = keys[order], vals[order]
+    ir, ic0, ic1, icv = _rle_intervals(keys, vals)
     return {
         "zone_id": pz.zone_id,
         "zoom": pz.zoom,
@@ -105,6 +142,10 @@ def _serialize(pz: PreparedZone) -> dict:
         "edges": np.ascontiguousarray(pz.edges, dtype="<i8").tobytes(),
         "cover_keys": keys.astype("<i8").tobytes(),
         "cover_vals": vals.tobytes(),
+        "iv_rows": ir.astype("<i8").tobytes(),
+        "iv_c0": ic0.astype("<i8").tobytes(),
+        "iv_c1": ic1.astype("<i8").tobytes(),
+        "iv_cover": icv.tobytes(),
     }
 
 
@@ -126,6 +167,41 @@ def collect_prepared(prepped: DataFrame) -> list[PreparedZone]:
     driver step the broadcast interval join needs; its cost is the
     broadcast's own size, not the catalog's edge count × cover work."""
     return [_deserialize(r) for r in prepped.collect()]
+
+
+def collect_prepared_light(prepped: DataFrame):
+    """Large-catalog assembly: PreparedZones WITHOUT their cover dicts
+    (edges/bbox/zoom only — the cover stays where it was computed) plus
+    the concatenated run-length interval table, ready for
+    ``join_zones(..., intervals=...)``.
+
+    Driver cost is O(total edges + total intervals); the full
+    :func:`collect_prepared` pays O(total COVER CELLS) building python
+    dicts — 10²-10³× more rows (measured: 1,000 zones = 8.6M cover
+    cells but only ~10⁵ intervals). This is what keeps a 10⁴-10⁵-zone
+    catalog's driver step at broadcast-size cost."""
+    zones, frames = [], []
+    for row in prepped.select(
+            "zone_id", "zoom", "min_x", "min_y", "max_x", "max_y",
+            "edges", "iv_rows", "iv_c0", "iv_c1", "iv_cover").collect():
+        edges = np.frombuffer(bytes(row["edges"]), dtype="<i8") \
+            .astype(np.int64).reshape(-1, 4)
+        zones.append(PreparedZone(
+            row["zone_id"], edges,
+            (row["min_x"], row["min_y"], row["max_x"], row["max_y"]),
+            row["zoom"], {}))
+        frames.append(pd.DataFrame({
+            "cell_row": np.frombuffer(bytes(row["iv_rows"]), dtype="<i8"),
+            "c0": np.frombuffer(bytes(row["iv_c0"]), dtype="<i8"),
+            "c1": np.frombuffer(bytes(row["iv_c1"]), dtype="<i8"),
+            "zone_id": row["zone_id"],
+            "cover": np.frombuffer(bytes(row["iv_cover"]),
+                                   dtype=np.int8).astype(np.int32),
+        }))
+    intervals = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"cell_row": [], "c0": [], "c1": [],
+                      "zone_id": [], "cover": []})
+    return zones, intervals
 
 
 def prepare_zones(zones: DataFrame, id_col: str = "zone_id",

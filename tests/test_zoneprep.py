@@ -117,6 +117,55 @@ class TestZonePrepDistributed:
             assert z.cover == want.cover
         prepped.unpersist()
 
+    def test_light_intervals_path_matches_full(self, spark, zone_wkb_df):
+        """The large-catalog path (cover-less zones + executor-computed
+        interval table) must produce the SAME join as the full path —
+        incl. through a MIXED-ZOOM catalog (interval table filtered per
+        zoom group in the recursion)."""
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        from libgeodesk_spark.operators.zoneprep import (
+            collect_prepared_light)
+        from libgeodesk_spark.sources.points import derived_points
+        pts = derived_points(spark, "/root/testdata/sf0.001") \
+            .select("image_id", "x", "y", "cell_id")
+        # gate zones + one HUGE zone forcing a coarser fitted zoom
+        # just under the MAX_ZONE_SPAN (2^30) contract — wide enough to
+        # force a much coarser fitted cover zoom than the gate zones
+        big = np.array([[-200_000_000, 500_000_000],
+                        [800_000_000, 500_000_000],
+                        [800_000_000, 900_000_000],
+                        [-200_000_000, 900_000_000],
+                        [-200_000_000, 500_000_000]], dtype=np.int64)
+        rows = _gate_zone_wkb_rows() + [
+            ("big", bytearray(rings_to_wkb([big], merc=True)))]
+        df = spark.createDataFrame(rows, "zone_id string, wkb binary")
+        prepped = prepared_zones_df(df).persist()
+        full = collect_prepared(prepped)
+        light, intervals = collect_prepared_light(prepped)
+        assert len({z.zoom for z in full}) > 1      # mixed zooms for real
+        assert all(not z.cover for z in light)      # covers stayed out
+        # interval table == the driver-built one from full covers
+        from libgeodesk_spark.operators.spatial_join import (
+            zone_intervals_df)
+        want_iv = zone_intervals_df(spark, full).toPandas()
+        key = ["zone_id", "cover", "cell_row", "c0", "c1"]
+        got_iv = intervals.sort_values(key).reset_index(drop=True)[key]
+        want_iv = want_iv.sort_values(key).reset_index(drop=True)[key]
+        assert got_iv.astype("int64", errors="ignore").equals(
+            want_iv.astype("int64", errors="ignore")) or \
+            got_iv.values.tolist() == want_iv.values.tolist()
+        a = sorted(map(tuple,
+                       join_zones(pts, light, predicate="within",
+                                  columns=["image_id"],
+                                  intervals=intervals)
+                       .select("image_id", "zone_id").collect()))
+        b = sorted(map(tuple,
+                       join_zones(pts, full, predicate="within",
+                                  columns=["image_id"])
+                       .select("image_id", "zone_id").collect()))
+        assert a == b and len(a) > 0
+        prepped.unpersist()
+
     def test_multipolygon_wkb(self, spark):
         """MultiPolygon zones (two disjoint squares) prep correctly —
         both parts contribute cover."""

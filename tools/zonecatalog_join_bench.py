@@ -61,24 +61,41 @@ def main():
     wkb = spark.createDataFrame(rows, "zone_id string, wkb binary").persist()
     wkb.count()
 
+    from libgeodesk_spark.operators.zoneprep import (
+        collect_prepared, collect_prepared_light, prepared_zones_df)
     t0 = time.time()
-    zones = prepare_zones(wkb, n_slices=128)
-    prep_sec = round(time.time() - t0, 2)
+    prepped = prepared_zones_df(wkb, n_slices=128).persist()
+    prepped.count()
+    exec_sec = round(time.time() - t0, 2)
+    # FULL driver assembly (cover dicts) vs LIGHT (edges + intervals):
+    # the serial step a 10^4-zone catalog actually feels
+    t0 = time.time()
+    zones_full = collect_prepared(prepped)
+    full_collect_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    zones, intervals = collect_prepared_light(prepped)
+    light_collect_sec = round(time.time() - t0, 2)
+    prep_sec = exec_sec + light_collect_sec
     total_edges = sum(len(z.edges) for z in zones)
-    total_cover = sum(len(z.cover) for z in zones)
+    total_cover = sum(len(z.cover) for z in zones_full)
     zooms = sorted({z.zoom for z in zones})
-    print(f"prep: {prep_sec}s — {len(zones)} zones, {total_edges} edges, "
-          f"{total_cover} cover cells, zoom groups {zooms}", flush=True)
+    print(f"prep: exec {exec_sec}s + light collect {light_collect_sec}s "
+          f"(full-dict collect would be {full_collect_sec}s) — "
+          f"{len(zones)} zones, {total_edges} edges, {total_cover} cover "
+          f"cells → {len(intervals)} intervals, zoom groups {zooms}",
+          flush=True)
+    del zones_full
 
     t0 = time.time()
-    out = join_zones(pts, zones, predicate="within", columns=["image_id"])
+    out = join_zones(pts, zones, predicate="within", columns=["image_id"],
+                     intervals=intervals)
     memberships = out.count()
     join_sec = round(time.time() - t0, 2)
     print(f"join: {join_sec}s — {memberships} memberships "
           f"({round(n_pts / join_sec):,} img/s)", flush=True)
 
     plan = join_zones(pts, zones, predicate="within",
-                      columns=["image_id"]) \
+                      columns=["image_id"], intervals=intervals) \
         ._jdf.queryExecution().executedPlan().toString()
     forbidden = [t for t in ("SortMergeJoin", "CartesianProduct",
                              "BatchEvalPython") if t in plan]
@@ -109,7 +126,10 @@ def main():
     raw = {"n_zones": len(zones), "n_points": n_pts,
            "spot_check": checked,
            "total_edges": total_edges, "total_cover_cells": total_cover,
-           "zoom_groups": zooms, "prep_sec": prep_sec,
+           "n_intervals": len(intervals), "zoom_groups": zooms,
+           "prep_exec_sec": exec_sec,
+           "collect_light_sec": light_collect_sec,
+           "collect_full_dicts_sec": full_collect_sec,
            "join_sec": join_sec, "memberships": memberships,
            "img_per_sec": round(n_pts / join_sec)}
     md = f"""
@@ -117,8 +137,11 @@ def main():
 ## 1,000-zone catalog JOIN (end-to-end)
 
 {n_pts:,} points × {len(zones)} zones (¼ overlap the data window —
-catalog skew: most zones see few points): executor prep {prep_sec} s,
-then the multi-zone broadcast interval join in **{join_sec} s**
+catalog skew: most zones see few points): executor prep {exec_sec} s +
+LIGHT driver assembly {light_collect_sec} s (edges + pre-computed
+intervals only; materializing the full cover dicts would cost
+{full_collect_sec} s — the serial step the light path removes), then
+the multi-zone broadcast interval join in **{join_sec} s**
 ({round(n_pts / join_sec):,} img/s, {memberships:,} memberships).
 {total_edges:,} edges / {total_cover:,} exact cover cells across
 {len(zooms)} fitted-zoom groups; plan is BroadcastHashJoin per zoom
