@@ -293,16 +293,41 @@ def _minhash_sql(table, col, id_col) -> str:
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold_pct: int = 60,
-                      col="text", id_col="doc_id") -> DataFrame:
+                      col="text", id_col="doc_id",
+                      collapse_exact: bool = False) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
     Bands of MH_PERMS/MH_BANDS rows; candidates sharing any band are
     verified with the exact shingle Jaccard (so the output is exact for
     all pairs the LSH recalls — the scale path trades recall, never
     precision; the gate query uses a high threshold where recall is ~1).
-    """
+
+    ``collapse_exact``: collapse byte-identical texts to one
+    representative before shingling and expand pairs afterward —
+    OUTPUT-IDENTICAL (stop-shingle document frequencies are computed
+    WEIGHTED by group size, so the cap binds exactly as on the full
+    corpus; identical texts have identical shingle sets, signatures,
+    and Jaccards), but LSH bucket sizes and the verify join shrink from
+    documents to DISTINCT texts. Web corpora are exact-dup-heavy — at
+    10 copies/doc the pairwise verify work drops ~100× (each band
+    bucket holds reps, not replicas); this is the standard
+    exact-then-near dedup composition as one operator."""
+    if collapse_exact:
+        return _minhash_lsh_pairs_collapsed(df, threshold_pct, col, id_col)
+    return _pairs_from_shingle_table(shingles(df, col, id_col),
+                                     threshold_pct, id_col)
+
+
+def _pairs_from_shingle_table(sh: DataFrame, threshold_pct: int,
+                              id_col: str) -> DataFrame:
+    """LSH band join + exact verify over a PRE-COMPUTED (id, sh) shingle
+    table — shared by the plain and collapse_exact paths (the latter
+    feeds rep-only shingles with a weighted stop-cap)."""
     rows_per_band = MH_PERMS // MH_BANDS
-    sig = minhash_signatures(df, col, id_col)
+    hm = F.col("sh") % F.lit(1 << 30)
+    sig = sh.groupBy(id_col).agg(*[
+        F.min((hm * F.lit(MH_AS[i]) + F.lit(MH_BS[i])) % F.lit(MH_PRIME))
+        .alias(f"mh_{i}") for i in range(MH_PERMS)])
     bands = sig.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(*[
@@ -325,7 +350,6 @@ def minhash_lsh_pairs(df: DataFrame, threshold_pct: int = 60,
     # explodes to |candidates| x shingles/doc intermediate rows (measured:
     # 2.2M candidates x ~300 shingles = 660M-row shuffle at an 80k-doc
     # corpus); the array form moves the same bytes once, attached to keys.
-    sh = shingles(df, col, id_col)
     sh_arr = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
     a2 = sh_arr.select(F.col(id_col).alias("id_a"),
                        F.col("shs").alias("shs_a"))
@@ -339,6 +363,61 @@ def minhash_lsh_pairs(df: DataFrame, threshold_pct: int = 60,
     return (j.filter(F.col("common") * 100 >= F.lit(threshold_pct) * union)
             .select("id_a", "id_b", "common",
                     union.cast("long").alias("union_sz")))
+
+
+def _minhash_lsh_pairs_collapsed(df: DataFrame, threshold_pct: int,
+                                 col: str, id_col: str) -> DataFrame:
+    """minhash_lsh_pairs over DISTINCT texts + pair expansion — see the
+    ``collapse_exact`` contract (output-identical, verified by
+    tests/test_textdedup.py equivalence on duplicate-heavy corpora)."""
+    key = F.md5(F.coalesce(F.col(col), F.lit("\x00null")))
+    g = (df.select(F.col(id_col).alias("_id"), F.col(col).alias("_t"),
+                   key.alias("_k"))
+         .groupBy("_k")
+         .agg(F.min("_id").alias("_rep"),
+              F.collect_list("_id").alias("_members"),
+              F.count("*").alias("_gs"), F.first("_t").alias("_t"))
+         .persist())
+    reps = g.select(F.col("_rep").alias(id_col), F.col("_t").alias(col))
+    # stop-shingle cap with WEIGHTED df (each rep counts its group size)
+    # against the FULL-corpus doc count — bit-identical cap decisions
+    raw = shingles(reps, col, id_col, max_df=None)
+    w = g.select(F.col("_rep").alias(id_col), "_gs")
+    total = g.select(F.sum("_gs").alias("n_docs"))
+    degen = (raw.join(w, id_col)
+             .groupBy("sh").agg(F.sum("_gs").alias("df"))
+             .crossJoin(F.broadcast(total))
+             .filter(F.col("df") > F.greatest(
+                 F.lit(DEGEN_CAP),
+                 (F.col("n_docs") * F.lit(DEGEN_FRAC)).cast("long")))
+             .select("sh"))
+    sh = raw.join(F.broadcast(degen), "sh", "left_anti")
+    rep_pairs = _pairs_from_shingle_table(sh, threshold_pct, id_col)
+    # expand: cross-group pairs carry the reps' exact (common, union)
+    ga = g.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma"))
+    gb = g.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb"))
+    cross = (rep_pairs.join(ga, "id_a").join(gb, "id_b")
+             .select(F.explode("_ma").alias("_x"), "_mb",
+                     "common", "union_sz")
+             .select("_x", F.explode("_mb").alias("_y"),
+                     "common", "union_sz"))
+    # intra-group: identical non-degenerate texts are Jaccard-1 pairs
+    # (groups whose shingles all fell to the cap have no signature and
+    # produce no pairs — matching the uncollapsed path exactly)
+    nsh = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    intra = (g.filter(F.col("_gs") > 1)
+             .join(nsh.select(F.col(id_col).alias("_rep"), "_n"), "_rep")
+             .select(F.explode("_members").alias("_x"), "_members", "_n")
+             .select("_x", F.explode("_members").alias("_y"), "_n")
+             .filter(F.col("_x") < F.col("_y"))
+             .select("_x", "_y", F.col("_n").cast("long").alias("common"),
+                     F.col("_n").cast("long").alias("union_sz"))
+             .filter(F.col("common") * 100
+                     >= F.lit(threshold_pct) * F.col("union_sz")))
+    return (cross.unionByName(intra)
+            .select(F.least("_x", "_y").alias("id_a"),
+                    F.greatest("_x", "_y").alias("id_b"),
+                    "common", "union_sz"))
 
 
 def minhash_lsh_pairs_sql(threshold_pct: int = 60, table="documents",

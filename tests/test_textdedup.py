@@ -85,6 +85,35 @@ class TestDedup:
         )
         assert_same(minhash_lsh_pairs(docs, 50), con, minhash_lsh_pairs_sql(50))
 
+    def test_minhash_collapse_exact_is_output_identical(self, spark, docs):
+        """collapse_exact (distinct-text collapse + pair expansion with
+        WEIGHTED stop-shingle df) must return the EXACT pair set of the
+        plain path on a duplicate-heavy corpus — incl. replica groups,
+        cross-group near-dups, empty/null texts, and a stop-shingle
+        whose cap decision only matches under weighted df."""
+        from pyspark.sql import functions as F
+
+        from libgeodesk_spark.operators.dedup import minhash_lsh_pairs
+        base = docs.limit(40).select("doc_id", "text")
+        reps = base.select(
+            "text", F.explode(F.array(*[F.lit(i) for i in range(6)]))
+            .alias("rep"), "doc_id")
+        big = reps.select(
+            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"), "text")
+        extra = spark.createDataFrame(
+            [(900001, None), (900002, ""), (900003, ""),
+             (900004, "tiny"), (900005, "tiny")],
+            "doc_id long, text string")
+        corpus = big.unionByName(extra)
+        for thresh in (50, 90):
+            a = sorted(map(tuple,
+                           minhash_lsh_pairs(corpus, thresh).collect()))
+            b = sorted(map(tuple,
+                           minhash_lsh_pairs(corpus, thresh,
+                                             collapse_exact=True)
+                           .collect()))
+            assert a == b and len(b) > 0, thresh
+
     def test_ngram_jaccard(self, docs, con):
         from libgeodesk_spark.operators.dedup import (
             ngram_jaccard_pairs,
