@@ -728,6 +728,42 @@ def _q_ann_recall_d256(spark, sf_dir):
                                 RECALL_FLOORS_D256)
 
 
+def _q_stream_within(spark, sf_dir):
+    """STREAMING point-in-polygon (streaming/ingest.stream_within):
+    points arrive as two availableNow epochs; each micro-batch flows
+    through the SAME broadcast interval join + Arrow kernel as the
+    batch path and appends memberships to a parquet sink. Stateless —
+    exact, so the oracle is the batch within SQL."""
+    import tempfile
+
+    import numpy as np
+
+    from libgeodesk_spark.geom.zones import prepare_zone
+    from libgeodesk_spark.sources.points import GATE_ZONES
+    from libgeodesk_spark.streaming.ingest import stream_within
+    zone = prepare_zone("comb", [np.array(r) for r in GATE_ZONES["comb"]])
+    base = tempfile.mkdtemp(prefix="spark_graft_swithin_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    pts = _points(spark, sf_dir).select("image_id", "pid", "x", "y",
+                                        "cell_id")
+
+    def epoch(batch_df, sub):
+        batch_df.write.parquet(f"{src}/{sub}")
+        stream = spark.readStream.schema(
+            "image_id string, pid long, x long, y long, cell_id long") \
+            .parquet(src + "/*")
+        q = (stream_within(stream, [zone],
+                           columns=["image_id", "cell_id"])
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    epoch(pts.filter(F.col("pid") % 2 == 0), "b1")
+    epoch(pts.filter(F.col("pid") % 2 != 0), "b2")
+    return spark.read.parquet(out).select("image_id", "cell_id")
+
+
 def _q_zoneprep_within(spark, sf_dir):
     """INTEGRATION row for the DISTRIBUTED zone-prep path (operators/
     zoneprep.py): gate zones serialized to WKB → executor-side
@@ -1142,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (no driver record yet) --------------------
         "zoneprep_within": _q_zoneprep_within,
         "snapshot_evolved": _q_snapshot_evolved,
+        "stream_within": _q_stream_within,
         # --- last driver record r2: lead the r4 window ----------------
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
@@ -1571,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         for name, rings in GATE_ZONES.items())
     out["snapshot_evolved"] = f"""{pc}
         SELECT image_id, pid, cell_id AS tile_id FROM pts"""
+    out["stream_within"] = within_sql(GATE_ZONES["comb"])
     from libgeodesk_spark.operators.dedup import phash_near_dups_sql
     out["phash_near_dups"] = f"""{pc},
         imgs AS (

@@ -135,6 +135,26 @@ def stream_to_snapshot(stream: DataFrame, table, checkpoint_dir: str,
             .start())
 
 
+def stream_within(stream: DataFrame, zones, predicate: str = "within",
+                  columns=None, **kw) -> DataFrame:
+    """Streaming point-in-polygon: the SAME broadcast interval join +
+    Arrow boundary kernel as the batch path (operators/spatial_join.
+    join_zones), applied to a streaming DataFrame.
+
+    Why this just works: the join is STATELESS — a broadcast hash join
+    against a static build side plus a row-local kernel — so Structured
+    Streaming runs it map-side inside each micro-batch with no state
+    store, no watermark, and no shuffle of the stream (the reference's
+    query-over-live-data analog: the prepared filter is built once and
+    every arriving feature tests against it). ``single_pass=True`` is
+    forced: one mapInPandas consumer per micro-batch instead of the
+    batch path's two-branch union re-reading the source."""
+    from libgeodesk_spark.operators.spatial_join import join_zones
+    kw.setdefault("single_pass", True)
+    return join_zones(stream, zones, predicate=predicate,
+                      columns=columns, **kw)
+
+
 def stream_range_join(left: DataFrame, right: DataFrame, key_col: str,
                       ts_col: str = "ts", window: str = "1 hour",
                       watermark: str = "35 days") -> DataFrame:

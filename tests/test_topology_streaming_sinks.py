@@ -260,6 +260,41 @@ class TestTopology:
 
 
 class TestStreaming:
+    def test_stream_within_matches_batch(self, spark, sf_dir, tmp_path):
+        """Streaming PIP == batch PIP: the broadcast interval join is
+        stateless, so two availableNow epochs through the parquet sink
+        must land exactly the batch membership set."""
+        import numpy as np
+
+        from libgeodesk_spark.geom.zones import prepare_zone
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        from libgeodesk_spark.sources.points import (
+            GATE_ZONES, derived_points)
+        from libgeodesk_spark.streaming.ingest import stream_within
+        zone = prepare_zone("comb",
+                            [np.array(r) for r in GATE_ZONES["comb"]])
+        pts = derived_points(spark, sf_dir).select("image_id", "pid",
+                                                   "x", "y")
+        src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+        for i, half in enumerate((pts.filter(F.col("pid") % 2 == 0),
+                                  pts.filter(F.col("pid") % 2 != 0))):
+            half.write.parquet(f"{src}/b{i}")
+            stream = spark.readStream.schema(
+                "image_id string, pid long, x long, y long") \
+                .parquet(src + "/*")
+            q = (stream_within(stream, [zone], columns=["image_id"])
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+        got = sorted(r.image_id for r in spark.read.parquet(out)
+                     .select("image_id").collect())
+        want = sorted(r.image_id for r in
+                      join_zones(pts, [zone], predicate="within",
+                                 columns=["image_id"])
+                      .select("image_id").collect())
+        assert got == want and len(got) > 0
+
     def test_stream_cell_assign_matches_batch(self, spark, sf_dir, tmp_path):
         from libgeodesk_spark.sources.points import derived_points
         from libgeodesk_spark.streaming.ingest import (
