@@ -111,6 +111,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)        # word-aligned chunk boundary
     if fmt_code is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if not (1 <= channels <= 64) or not (1 <= rate <= 10_000_000):
+        raise ValueError(f"WAV header out of range: ch={channels} "
+                         f"rate={rate}")
     if fmt_code == 1 and bits == 16:
         s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
     elif fmt_code == 1 and bits == 8:       # 8-bit PCM is UNSIGNED per spec
@@ -289,7 +292,13 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("AVI missing stream format / frames")
     bottom_up = h > 0
     h = abs(h)
+    # sanity bounds BEFORE allocating (n, h, w, 3): a corrupted header
+    # dimension must raise, not attempt a petabyte ndarray
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        raise ValueError(f"AVI dimensions out of range: {w}x{h}")
     stride = (w * 3) + ((-(w * 3)) % 4)
+    if any(len(f) < stride * h for f in frames):
+        raise ValueError("AVI frame chunk smaller than stride*height")
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames):
         rows = np.frombuffer(raw[:stride * h], dtype=np.uint8) \

@@ -148,6 +148,32 @@ class TestRealWav:
         want = want.sort_values(key).reset_index(drop=True)
         assert got.equals(want)
 
+    def test_container_fuzz_no_silent_garbage(self):
+        """Truncations and random byte corruptions of valid WAV/AVI
+        containers either decode (when the damage misses load-bearing
+        bytes) or raise a CLEAN error — never crash the process or
+        return a malformed shape."""
+        rng = np.random.default_rng(9)
+        wav = mm.encode_wav(mm.synth_audio(1, 500), 8000)
+        avi = mm.encode_avi(mm.synth_video(1, 9, 6, 3), 8)
+        def probe(dec, data):
+            try:
+                out, rate = dec(data)
+            except (MemoryError, SystemError):
+                raise          # a header fuzz must never reach allocation
+            except Exception:
+                return         # clean parse/shape error
+            assert hasattr(out, "shape") and rate > 0
+
+        for blob, dec in ((wav, mm.decode_wav), (avi, mm.decode_avi)):
+            for cut in (0, 3, 11, 13, len(blob) // 2, len(blob) - 1):
+                probe(dec, blob[:cut])
+            for _ in range(40):
+                b = bytearray(blob)
+                for _ in range(rng.integers(1, 6)):
+                    b[rng.integers(0, len(b))] = rng.integers(0, 256)
+                probe(dec, bytes(b))
+
     def test_audio_features_over_real_wav(self, spark):
         """The Spark feature path runs unchanged over REAL WAV payloads
         — container dispatch happens inside the Arrow batch."""
