@@ -232,11 +232,26 @@ def _shingles_sql(table, col, id_col) -> str:
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold_pct: int = 60,
-                        col="text", id_col="doc_id") -> DataFrame:
+                        col="text", id_col="doc_id",
+                        collapse_exact: bool = False) -> DataFrame:
     """Pairs (a<b) with char-shingle Jaccard ≥ threshold_pct/100, computed
     exactly: common shingles via the inverted index join, union by
-    inclusion–exclusion; integer cross-multiplied comparison."""
-    sh = shingles(df, col, id_col)
+    inclusion–exclusion; integer cross-multiplied comparison.
+
+    ``collapse_exact``: same contract as minhash_lsh_pairs — and an
+    even bigger win here, because k identical copies inflate the
+    inverted-index join by |shingles|·C(k,2) rows per duplicate group
+    (the exact join pays the full quadratic copy blowup that LSH only
+    pays inside colliding buckets)."""
+    if collapse_exact:
+        return _collapsed_pairs(df, threshold_pct, col, id_col,
+                                _ngram_pairs_from_shingle_table)
+    return _ngram_pairs_from_shingle_table(shingles(df, col, id_col),
+                                           threshold_pct, id_col)
+
+
+def _ngram_pairs_from_shingle_table(sh: DataFrame, threshold_pct: int,
+                                    id_col: str) -> DataFrame:
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -367,8 +382,16 @@ def _pairs_from_shingle_table(sh: DataFrame, threshold_pct: int,
 
 def _minhash_lsh_pairs_collapsed(df: DataFrame, threshold_pct: int,
                                  col: str, id_col: str) -> DataFrame:
-    """minhash_lsh_pairs over DISTINCT texts + pair expansion — see the
-    ``collapse_exact`` contract (output-identical, verified by
+    return _collapsed_pairs(df, threshold_pct, col, id_col,
+                            _pairs_from_shingle_table)
+
+
+def _collapsed_pairs(df: DataFrame, threshold_pct: int,
+                     col: str, id_col: str, pair_fn) -> DataFrame:
+    """Distinct-text collapse + pair expansion around any shingle-table
+    pair generator (``pair_fn(sh, threshold_pct, id_col)``) — shared by
+    the minhash-LSH and exact ngram-Jaccard ``collapse_exact`` paths;
+    see the ``collapse_exact`` contract (output-identical, verified by
     tests/test_textdedup.py equivalence on duplicate-heavy corpora)."""
     key = F.md5(F.coalesce(F.col(col), F.lit("\x00null")))
     g = (df.select(F.col(id_col).alias("_id"), F.col(col).alias("_t"),
@@ -392,7 +415,7 @@ def _minhash_lsh_pairs_collapsed(df: DataFrame, threshold_pct: int,
                  (F.col("n_docs") * F.lit(DEGEN_FRAC)).cast("long")))
              .select("sh"))
     sh = raw.join(F.broadcast(degen), "sh", "left_anti")
-    rep_pairs = _pairs_from_shingle_table(sh, threshold_pct, id_col)
+    rep_pairs = pair_fn(sh, threshold_pct, id_col)
     # expand: cross-group pairs carry the reps' exact (common, union)
     ga = g.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma"))
     gb = g.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb"))

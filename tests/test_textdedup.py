@@ -105,6 +105,7 @@ class TestDedup:
              (900004, "tiny"), (900005, "tiny")],
             "doc_id long, text string")
         corpus = big.unionByName(extra)
+        from libgeodesk_spark.operators.dedup import ngram_jaccard_pairs
         for thresh in (50, 90):
             a = sorted(map(tuple,
                            minhash_lsh_pairs(corpus, thresh).collect()))
@@ -113,6 +114,12 @@ class TestDedup:
                                              collapse_exact=True)
                            .collect()))
             assert a == b and len(b) > 0, thresh
+        # exact ngram-Jaccard shares the collapse skeleton — same contract
+        a = sorted(map(tuple, ngram_jaccard_pairs(corpus, 60).collect()))
+        b = sorted(map(tuple, ngram_jaccard_pairs(corpus, 60,
+                                                  collapse_exact=True)
+                       .collect()))
+        assert a == b and len(b) > 0
 
     def test_ngram_jaccard(self, docs, con):
         from libgeodesk_spark.operators.dedup import (
