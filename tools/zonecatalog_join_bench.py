@@ -134,7 +134,7 @@ def main():
            "img_per_sec": round(n_pts / join_sec)}
     md = f"""
 
-## 1,000-zone catalog JOIN (end-to-end)
+## {len(zones):,}-zone catalog JOIN (end-to-end)
 
 {n_pts:,} points × {len(zones)} zones (¼ overlap the data window —
 catalog skew: most zones see few points): executor prep {exec_sec} s +
