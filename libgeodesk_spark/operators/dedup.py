@@ -119,10 +119,44 @@ def simhash_sql(table="documents", col="text", id_col="doc_id") -> str:
     """
 
 
-def simhash_near_dups(df: DataFrame, col="text", id_col="doc_id") -> DataFrame:
+def simhash_near_dups(df: DataFrame, col="text", id_col="doc_id",
+                      collapse_exact: bool = False) -> DataFrame:
     """Near-duplicate pairs (a < b) with hamming(simhash) ≤ SIM_MAX_HAMMING,
     found via banded exact-match (a pair within hamming h < bands must share
-    ≥1 exact band — pigeonhole)."""
+    ≥1 exact band — pigeonhole).
+
+    ``collapse_exact``: same output-identical contract as
+    minhash_lsh_pairs — and SIMPLER here: simhash has no
+    document-frequency filtering, so identical texts always hash
+    identically and the expansion needs no weighted-cap machinery
+    (cross-group pairs inherit the reps' hamming; intra-group pairs are
+    hamming 0; null-text docs have no signature and produce none)."""
+    if collapse_exact:
+        key = F.md5(F.coalesce(F.col(col), F.lit("\x00null")))
+        g = (df.select(F.col(id_col).alias("_id"), F.col(col).alias("_t"),
+                       key.alias("_k"))
+             .groupBy("_k")
+             .agg(F.min("_id").alias("_rep"),
+                  F.collect_list("_id").alias("_members"),
+                  F.count("*").alias("_gs"), F.first("_t").alias("_t"))
+             .persist())
+        reps = g.select(F.col("_rep").alias(id_col), F.col("_t").alias(col))
+        rp = simhash_near_dups(reps, col, id_col)
+        ga = g.select(F.col("_rep").alias("id_a"),
+                      F.col("_members").alias("_ma"))
+        gb = g.select(F.col("_rep").alias("id_b"),
+                      F.col("_members").alias("_mb"))
+        cross = (rp.join(ga, "id_a").join(gb, "id_b")
+                 .select(F.explode("_ma").alias("_x"), "_mb", "hamming")
+                 .select("_x", F.explode("_mb").alias("_y"), "hamming"))
+        intra = (g.filter((F.col("_gs") > 1) & F.col("_t").isNotNull())
+                 .select(F.explode("_members").alias("_x"), "_members")
+                 .select("_x", F.explode("_members").alias("_y"))
+                 .filter(F.col("_x") < F.col("_y"))
+                 .select("_x", "_y", F.lit(0).cast("long").alias("hamming")))
+        return (cross.unionByName(intra)
+                .select(F.least("_x", "_y").alias("id_a"),
+                        F.greatest("_x", "_y").alias("id_b"), "hamming"))
     sim = simhash(df, col, id_col)
     band_width = SIM_BITS // SIM_BANDS
     bands = sim.select(

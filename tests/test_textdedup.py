@@ -120,6 +120,13 @@ class TestDedup:
                                                   collapse_exact=True)
                        .collect()))
         assert a == b and len(b) > 0
+        # simhash too (no df-cap machinery; hamming carried through)
+        from libgeodesk_spark.operators.dedup import simhash_near_dups
+        a = sorted(map(tuple, simhash_near_dups(corpus).collect()))
+        b = sorted(map(tuple, simhash_near_dups(corpus,
+                                                collapse_exact=True)
+                       .collect()))
+        assert a == b and len(b) > 0
 
     def test_ngram_jaccard(self, docs, con):
         from libgeodesk_spark.operators.dedup import (
