@@ -65,7 +65,8 @@ PREP_SCHEMA = T.StructType([
 def prepared_zones_df(zones: DataFrame, id_col: str = "zone_id",
                       wkb_col: str = "wkb",
                       zoom: int | None = None,
-                      n_slices: int | None = None) -> DataFrame:
+                      n_slices: int | None = None,
+                      geom_format: str = "wkb") -> DataFrame:
     """Prepare every zone of a WKB catalog, distributed.
 
     One Arrow batch in → one artifact row per zone out; all geometry
@@ -76,18 +77,27 @@ def prepared_zones_df(zones: DataFrame, id_col: str = "zone_id",
 
     ``n_slices``: repartition width (default: leave the input layout —
     pass the cluster's core count when the catalog arrives in few
-    files)."""
+    files).
+
+    ``geom_format``: ``'wkb'`` (binary column) or ``'wkt'`` (text
+    column — data-lake exports commonly carry WKT strings); both parse
+    to identical rings (geom/wkt.py pins bit-identity)."""
+    if geom_format not in ("wkb", "wkt"):
+        raise ValueError(f"geom_format must be wkb|wkt, got {geom_format!r}")
     src = zones.select(F.col(id_col).cast("string").alias("zone_id"),
-                       F.col(wkb_col).alias("_wkb"))
+                       F.col(wkb_col).alias("_geom"))
     if n_slices:
         src = src.repartition(n_slices)
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from libgeodesk_spark.geom.wkb import prepare_zone_from_wkb
+        from libgeodesk_spark.geom.wkt import prepare_zone_from_wkt
         for pdf in batches:
             rows = []
-            for zid, data in zip(pdf["zone_id"], pdf["_wkb"]):
-                pz = prepare_zone_from_wkb(str(zid), bytes(data), zoom)
+            for zid, data in zip(pdf["zone_id"], pdf["_geom"]):
+                pz = prepare_zone_from_wkt(str(zid), str(data), zoom) \
+                    if geom_format == "wkt" \
+                    else prepare_zone_from_wkb(str(zid), bytes(data), zoom)
                 rows.append(_serialize(pz))
             if rows:
                 yield pd.DataFrame(rows,

@@ -166,6 +166,28 @@ class TestZonePrepDistributed:
         assert a == b and len(a) > 0
         prepped.unpersist()
 
+    def test_wkt_catalog_equals_wkb(self, spark, zone_wkb_df):
+        """geom_format='wkt': a WKT zone catalog preps bit-identically
+        to the WKB one for the same lon/lat."""
+        from libgeodesk_spark.geom.wkb import _merc_rings_to_lonlat
+        from libgeodesk_spark.sources.points import GATE_ZONES
+        rows = []
+        for name, rings in GATE_ZONES.items():
+            lonlat = _merc_rings_to_lonlat(
+                [np.array(r, dtype=np.int64) for r in rings])
+            ring_txt = lambda r: "(" + ", ".join(  # noqa: E731
+                f"{lo!r} {la!r}" for lo, la in r) + ")"
+            rows.append((name, "POLYGON (" + ", ".join(
+                ring_txt(r) for r in lonlat) + ")"))
+        wkt_df = spark.createDataFrame(rows, "zone_id string, wkb string")
+        got = {z.zone_id: z for z in prepare_zones(zone_wkb_df)}
+        via_wkt = {z.zone_id: z for z in collect_prepared(
+            prepared_zones_df(wkt_df, geom_format="wkt"))}
+        for name in GATE_ZONES:
+            np.testing.assert_array_equal(via_wkt[name].edges,
+                                          got[name].edges)
+            assert via_wkt[name].cover == got[name].cover
+
     def test_multipolygon_wkb(self, spark):
         """MultiPolygon zones (two disjoint squares) prep correctly —
         both parts contribute cover."""
