@@ -74,15 +74,30 @@ class Features:
         return self._wrap(bbox_filter(self._df, min_x, min_y, max_x, max_y,
                                       self._x, self._y))
 
-    def within(self, zone: PreparedZone) -> "Features":
+    @staticmethod
+    def _as_zone(zone) -> PreparedZone:
+        """Accept a PreparedZone, WKT text, or WKB bytes — the
+        geodesk-py filters take shapely geometry (any GEOS-readable
+        form); here both standard serializations prepare on the fly."""
+        if isinstance(zone, str):
+            from libgeodesk_spark.geom.wkt import prepare_zone_from_wkt
+            return prepare_zone_from_wkt("zone", zone)
+        if isinstance(zone, (bytes, bytearray)):
+            from libgeodesk_spark.geom.wkb import prepare_zone_from_wkb
+            return prepare_zone_from_wkb("zone", bytes(zone))
+        return zone
+
+    def within(self, zone: PreparedZone | str | bytes) -> "Features":
         from libgeodesk_spark.operators.spatial_join import join_zones
-        return self._wrap(join_zones(self._df, [zone], predicate="within",
+        return self._wrap(join_zones(self._df, [self._as_zone(zone)],
+                                     predicate="within",
                                      x_col=self._x, y_col=self._y)
                           .drop("zone_id"))
 
-    def intersecting(self, zone: PreparedZone) -> "Features":
+    def intersecting(self, zone: PreparedZone | str | bytes) -> "Features":
         from libgeodesk_spark.operators.spatial_join import join_zones
-        return self._wrap(join_zones(self._df, [zone], predicate="intersects",
+        return self._wrap(join_zones(self._df, [self._as_zone(zone)],
+                                     predicate="intersects",
                                      x_col=self._x, y_col=self._y)
                           .drop("zone_id"))
 

@@ -37,6 +37,20 @@ def test_fluent_chain(world, comb):
     assert n == int((loc == 1).sum())
 
 
+def test_within_accepts_wkt_and_wkb(world, comb):
+    """geodesk-py filters take any GEOS-readable geometry; here WKT text
+    and WKB bytes prepare on the fly and match the PreparedZone path."""
+    from libgeodesk_spark.geom.wkb import _merc_rings_to_lonlat, rings_to_wkb
+    rings = [np.array(r, dtype=np.int64) for r in GATE_ZONES["comb"]]
+    want = world.within(comb).count()
+    wkb = rings_to_wkb(rings, merc=True)
+    assert world.within(wkb).count() == want
+    lonlat = _merc_rings_to_lonlat(rings)
+    wkt = "POLYGON ((" + ", ".join(
+        f"{lo!r} {la!r}" for lo, la in lonlat[0]) + "))"
+    assert world.within(wkt).count() == want
+
+
 def test_terminals(world):
     assert not world.is_empty()
     assert bool(world)
