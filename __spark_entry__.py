@@ -1221,7 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_to_zone": _q_distance_to_zone,
         "user_sessions": _q_user_sessions,
         "knn_batch": _q_knn_batch,
-        # --- triple-green spatial rows: first 10 still in-window ------
+        # --- triple-green spatial rows: positions 44-50 (in-window) ---
         "cell_assign": _q_cell_assign,
         "cell_pyramid": _q_cell_pyramid,
         "bbox_window": _q_bbox,
@@ -1229,10 +1229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_comb": _q_within("comb"),
         "within_holed": _q_within("holed"),
         "intersects_comb": _q_intersects("comb"),
+        # --- beyond the 50-row window: triple-green (r1+r2+r3) --------
         "contains_point": _q_contains_point,
         "knn_k5": _q_knn(5),
         "knn_k50": _q_knn(50),
-        # --- beyond the 50-row window: triple-green (r1+r2+r3) --------
         "radius_500k": _q_radius,
         "way_within": _q_way_within,
         "way_intersects": _q_way_intersects,

@@ -20,21 +20,26 @@ import numpy as np
 
 from libgeodesk_spark.geom.wkb import _ring_to_merc
 
-_NUM = re.compile(r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
+# accepts leading-decimal ('.5') and trailing-decimal ('5.') forms —
+# a digit-required-before-the-point regex silently split '.5' into '5'
+# (review finding r4: zones prepared at wildly wrong coordinates)
+_NUM = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
 
 
 def _parse_ring_text(body: str) -> np.ndarray:
-    """'lon lat, lon lat, ...' → (k, 2) float lon/lat array."""
+    """'lon lat, lon lat, ...' → (k, 2) float lon/lat array. Tokens are
+    FULL-matched — malformed numerics raise instead of partially
+    parsing into wrong coordinates."""
     pts = []
     for pair in body.split(","):
-        nums = _NUM.findall(pair)
-        if len(nums) > 2:
+        toks = pair.split()
+        if len(toks) > 2:
             raise ValueError(
                 "WKT Z/M ordinates unsupported — the engine is planar; "
                 "strip to 2D before ingest")
-        if len(nums) != 2:
+        if len(toks) != 2 or not all(_NUM.fullmatch(t) for t in toks):
             raise ValueError(f"bad WKT coordinate pair: {pair!r}")
-        pts.append((float(nums[0]), float(nums[1])))
+        pts.append((float(toks[0]), float(toks[1])))
     return np.array(pts, dtype=np.float64)
 
 

@@ -173,6 +173,38 @@ def _fit_zoom(min_x: int, min_y: int, max_x: int, max_y: int,
     return 0
 
 
+def cover_rle(keys: np.ndarray, vals: np.ndarray):
+    """Run-length encode a packed-key (col<<20|row) cover into
+    (rows, c0, c1, cover) arrays — one row per (cell row, contiguous
+    col run, cover class). THE canonical encoder: both the driver-built
+    broadcast table (spatial_join.zone_intervals_df) and the
+    executor-side artifacts (operators/zoneprep) call this, so the
+    intervals= join path can never desynchronize from the default
+    path's representation."""
+    out_r, out_c0, out_c1, out_cv = [], [], [], []
+    cols = keys >> 20
+    rows = keys & 0xFFFFF
+    for cv in (INSIDE, BOUNDARY):
+        m = vals == cv
+        if not m.any():
+            continue
+        order = np.lexsort((cols[m], rows[m]))
+        rs, cs = rows[m][order], cols[m][order]
+        newrun = np.ones(len(rs), dtype=bool)
+        newrun[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1] + 1)
+        starts = np.flatnonzero(newrun)
+        ends = np.concatenate([starts[1:] - 1, [len(rs) - 1]])
+        out_r.append(rs[starts])
+        out_c0.append(cs[starts])
+        out_c1.append(cs[ends])
+        out_cv.append(np.full(len(starts), cv, dtype=np.int8))
+    if not out_r:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, np.zeros(0, dtype=np.int8)
+    return (np.concatenate(out_r), np.concatenate(out_c0),
+            np.concatenate(out_c1), np.concatenate(out_cv))
+
+
 def coarsen_cover(cover: dict[int, int], k: int) -> dict[int, int]:
     """Zoom a cover out by ``k`` steps, exactly: a coarse cell is INSIDE
     iff all 4^k children are present and INSIDE; it is BOUNDARY if any

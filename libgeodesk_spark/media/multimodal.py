@@ -260,21 +260,35 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     w = h = None
     rate = scale = 1
     frames = []
+    stream_no = 0        # strh document order defines stream numbering
+    vid_no = None        # which NN the video's 'NNdb' chunks carry
 
     def walk(pos: int, end: int):
-        nonlocal w, h, rate, scale
+        nonlocal w, h, rate, scale, stream_no, vid_no
+        # strf has no type of its own: it belongs to the stream whose
+        # strh preceded it WITHIN THE SAME strl LIST. Track that stream
+        # type per walk frame, so an audio strl's WAVEFORMATEX is never
+        # misread as a BITMAPINFOHEADER (audio-carrying AVIs are the
+        # common real-world shape)
+        cur_stream = None
         while pos + 8 <= end:
             cid = buf[pos:pos + 4]
             size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
             body_at = pos + 8
             if cid == b"LIST":
                 walk(body_at + 4, body_at + size)
-            elif cid == b"strh" and buf[body_at:body_at + 4] == b"vids":
-                # AVISTREAMHEADER after fccType+fccHandler: dwFlags,
-                # wPriority, wLanguage, dwInitialFrames, dwScale, dwRate
-                _fl, _pr, _la, _init, scale, rate = struct.unpack(
-                    "<IHHIII", buf[body_at + 8:body_at + 28])
-            elif cid == b"strf":
+            elif cid == b"strh":
+                cur_stream = buf[body_at:body_at + 4]
+                if cur_stream == b"vids" and vid_no is None:
+                    vid_no = stream_no
+                stream_no += 1
+                if cur_stream == b"vids":
+                    # AVISTREAMHEADER after fccType+fccHandler: dwFlags,
+                    # wPriority, wLanguage, dwInitialFrames, dwScale,
+                    # dwRate
+                    _fl, _pr, _la, _init, scale, rate = struct.unpack(
+                        "<IHHIII", buf[body_at + 8:body_at + 28])
+            elif cid == b"strf" and cur_stream == b"vids":
                 _sz, w, h = struct.unpack("<Iii", buf[body_at:body_at + 12])
                 bits = struct.unpack("<H", buf[body_at + 14:body_at + 16])[0]
                 comp = struct.unpack("<I", buf[body_at + 16:body_at + 20])[0]
@@ -283,8 +297,9 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                         f"AVI stream {bits}-bit compression={comp} needs "
                         f"ffmpeg — only uncompressed 24-bit DIB decodes "
                         f"here")
-            elif cid in (b"00db", b"00dc"):
-                frames.append(buf[body_at:body_at + size])
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                if vid_no is not None and int(cid[:2]) == vid_no:
+                    frames.append(buf[body_at:body_at + size])
             pos = body_at + size + (size & 1)
 
     walk(12, 8 + struct.unpack("<I", buf[4:8])[0])

@@ -139,6 +139,11 @@ def simhash_near_dups(df: DataFrame, col="text", id_col="doc_id",
              .agg(F.min("_id").alias("_rep"),
                   F.collect_list("_id").alias("_members"),
                   F.count("*").alias("_gs"), F.first("_t").alias("_t"))
+             # persist: the group frame feeds reps + both expansion sides;
+             # eager unpersist would defeat the reuse before the caller
+             # materializes; Spark's ContextCleaner unpersists the cached
+             # RDD once the returned plan is unreferenced, so the cache
+             # lifetime is bounded by the result's, not the session's
              .persist())
         reps = g.select(F.col("_rep").alias(id_col), F.col("_t").alias(col))
         rp = simhash_near_dups(reps, col, id_col)
@@ -320,15 +325,20 @@ def ngram_jaccard_pairs_sql(threshold_pct: int = 60, table="documents",
     """
 
 
-def minhash_signatures(df: DataFrame, col="text", id_col="doc_id") -> DataFrame:
-    """(id, mh_0..mh_{MH_PERMS-1}) minhash signature over char shingles."""
-    sh = shingles(df, col, id_col)
-    # fold to 30 bits before the LCG so products stay within int64
+def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    """THE minhash aggregation — one definition shared by the plain
+    path, the collapse path, and (via the same constants) the SQL
+    mirror; fold to 30 bits before the LCG so products stay in int64."""
     hm = F.col("sh") % F.lit(1 << 30)
     aggs = [F.min((hm * F.lit(MH_AS[i]) + F.lit(MH_BS[i]))
                   % F.lit(MH_PRIME)).alias(f"mh_{i}")
             for i in range(MH_PERMS)]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, col="text", id_col="doc_id") -> DataFrame:
+    """(id, mh_0..mh_{MH_PERMS-1}) minhash signature over char shingles."""
+    return _signatures_from_shingles(shingles(df, col, id_col), id_col)
 
 
 def _minhash_sql(table, col, id_col) -> str:
@@ -373,10 +383,7 @@ def _pairs_from_shingle_table(sh: DataFrame, threshold_pct: int,
     table — shared by the plain and collapse_exact paths (the latter
     feeds rep-only shingles with a weighted stop-cap)."""
     rows_per_band = MH_PERMS // MH_BANDS
-    hm = F.col("sh") % F.lit(1 << 30)
-    sig = sh.groupBy(id_col).agg(*[
-        F.min((hm * F.lit(MH_AS[i]) + F.lit(MH_BS[i])) % F.lit(MH_PRIME))
-        .alias(f"mh_{i}") for i in range(MH_PERMS)])
+    sig = _signatures_from_shingles(sh, id_col)
     bands = sig.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(*[
@@ -434,6 +441,11 @@ def _collapsed_pairs(df: DataFrame, threshold_pct: int,
          .agg(F.min("_id").alias("_rep"),
               F.collect_list("_id").alias("_members"),
               F.count("*").alias("_gs"), F.first("_t").alias("_t"))
+         # persist: the group frame feeds reps + both expansion sides;
+         # eager unpersist would defeat the reuse before the caller
+         # materializes; Spark's ContextCleaner unpersists the cached
+         # RDD once the returned plan is unreferenced, so the cache
+         # lifetime is bounded by the result's, not the session's
          .persist())
     reps = g.select(F.col("_rep").alias(id_col), F.col("_t").alias(col))
     # stop-shingle cap with WEIGHTED df (each rep counts its group size)

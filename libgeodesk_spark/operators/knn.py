@@ -364,9 +364,20 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
     # every candidate is a legitimate neighbor, and capping at n-1 there
     # would return one fewer row per query than the ring path at
     # k >= corpus size (the knn_batch delegation contract is
-    # row-identical across the 512-query threshold)
-    kk = min(k, n_candidates if queries is not None
-             else max(n_candidates - 1, 0))
+    # row-identical across the 512-query threshold). A query frame that
+    # IS a corpus subset (every id present in candidates) keeps the n-1
+    # ceiling — with kk=n such queries could never satisfy cnt==kk and
+    # would grind every ring round to the forced world_done resolution
+    # (review finding r4). Mixed-overlap frames (rare) take kk=n and
+    # accept late resolution only for their subset members at k>=n.
+    if queries is not None and k >= n_candidates:
+        n_overlap = pending.join(
+            b_base, pending["id_a"] == b_base["id_b"], "left_semi").count()
+        n_queries = pending.count()
+        all_self = n_queries > 0 and n_overlap == n_queries
+    else:
+        all_self = queries is None
+    kk = min(k, max(n_candidates - 1, 0) if all_self else n_candidates)
     if kk == 0:
         return pending.limit(0).select(
             F.col("id_a"), F.lit(0).alias("id_b"),

@@ -89,26 +89,17 @@ def zone_intervals_df(spark: SparkSession,
     (~1k rows/zone), so the build is instant and the probe joins
     equi-on-row with a col BETWEEN residual inside the same broadcast
     hash join. Interval count scales with zone PERIMETER rows, not area."""
+    from libgeodesk_spark.geom.zones import cover_rle
     frames = []
     for z in zones:
         n = len(z.cover)
         keys = np.fromiter(z.cover.keys(), dtype=np.int64, count=n)
         vals = np.fromiter(z.cover.values(), dtype=np.int32, count=n)
-        cols = keys >> 20
-        rows = keys & 0xFFFFF
-        for cv in (INSIDE, BOUNDARY):
-            m = vals == cv
-            if not m.any():
-                continue
-            order = np.lexsort((cols[m], rows[m]))
-            rs, cs = rows[m][order], cols[m][order]
-            newrun = np.ones(len(rs), dtype=bool)
-            newrun[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1] + 1)
-            starts = np.flatnonzero(newrun)
-            ends = np.concatenate([starts[1:] - 1, [len(rs) - 1]])
+        rs, c0, c1, cv = cover_rle(keys, vals)   # the canonical encoder
+        if len(rs):
             frames.append(pd.DataFrame({
-                "cell_row": rs[starts], "c0": cs[starts], "c1": cs[ends],
-                "zone_id": z.zone_id, "cover": cv}))
+                "cell_row": rs, "c0": c0, "c1": c1,
+                "zone_id": z.zone_id, "cover": cv.astype(np.int32)}))
     pdf = pd.concat(frames, ignore_index=True) if frames else \
         pd.DataFrame({"cell_row": [], "c0": [], "c1": [],
                       "zone_id": [], "cover": []})

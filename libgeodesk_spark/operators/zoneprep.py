@@ -106,41 +106,14 @@ def prepared_zones_df(zones: DataFrame, id_col: str = "zone_id",
     return src.mapInPandas(go, schema=PREP_SCHEMA)
 
 
-def _rle_intervals(keys: np.ndarray, vals: np.ndarray):
-    """Run-length encode a packed-key cover into (rows, c0, c1, cover)
-    arrays — the same representation as spatial_join.zone_intervals_df,
-    computed where the cover already lives (the executor)."""
-    out_r, out_c0, out_c1, out_cv = [], [], [], []
-    cols = keys >> 20
-    rows = keys & 0xFFFFF
-    for cv in (INSIDE, BOUNDARY):
-        m = vals == cv
-        if not m.any():
-            continue
-        order = np.lexsort((cols[m], rows[m]))
-        rs, cs = rows[m][order], cols[m][order]
-        newrun = np.ones(len(rs), dtype=bool)
-        newrun[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1] + 1)
-        starts = np.flatnonzero(newrun)
-        ends = np.concatenate([starts[1:] - 1, [len(rs) - 1]])
-        out_r.append(rs[starts])
-        out_c0.append(cs[starts])
-        out_c1.append(cs[ends])
-        out_cv.append(np.full(len(starts), cv, dtype=np.int8))
-    if not out_r:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z, np.zeros(0, dtype=np.int8)
-    return (np.concatenate(out_r), np.concatenate(out_c0),
-            np.concatenate(out_c1), np.concatenate(out_cv))
-
-
 def _serialize(pz: PreparedZone) -> dict:
     n = len(pz.cover)
     keys = np.fromiter(pz.cover.keys(), dtype=np.int64, count=n)
     vals = np.fromiter(pz.cover.values(), dtype=np.int8, count=n)
     order = np.argsort(keys)               # canonical order → stable bytes
     keys, vals = keys[order], vals[order]
-    ir, ic0, ic1, icv = _rle_intervals(keys, vals)
+    from libgeodesk_spark.geom.zones import cover_rle
+    ir, ic0, ic1, icv = cover_rle(keys, vals)
     return {
         "zone_id": pz.zone_id,
         "zoom": pz.zoom,

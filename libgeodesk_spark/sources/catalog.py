@@ -174,9 +174,16 @@ class SnapshotTable:
                 raise ValueError("drop would leave an empty schema")
         commit_id = uuid.uuid4().hex[:12]
         version = base + 1
+        # legacy base (no cumulative tag index yet): fold the per-version
+        # tags in, exactly as commit() does — a metadata-only commit must
+        # not drop replay-protection tags
+        if "tags" in base_man or base_man["version"] == 0:
+            tags = list(base_man.get("tags", ()))
+        else:
+            tags = sorted(self.commit_tags())
         manifest = {"version": version, "base": base, "mode": "metadata",
                     "commit_id": commit_id, "files": base_man["files"],
-                    "tag": None, "tags": list(base_man.get("tags", ())),
+                    "tag": None, "tags": tags,
                     "schema": schema, "next_field_id": next_id,
                     "file_schemas": file_schemas, "stat_ids": stat_ids}
         with open(self._manifest_path(version, commit_id), "w") as f:

@@ -218,6 +218,32 @@ class TestSnapshotTable:
         assert tbl.current_version() == v
         assert tbl.read(spark).count() == 5
 
+    def test_metadata_commit_preserves_legacy_tags(self, spark, tbl):
+        """A rename/drop on a LEGACY table (pre-tag-index manifests)
+        must fold the old per-version tags into the new manifest —
+        otherwise a replayed pre-evolution epoch double-commits
+        (review finding r4)."""
+        tbl.commit(_mk(spark, 0, 20), tag="epoch:1")
+        # strip the modern keys from the manifest on disk: simulate a
+        # table written before the tag index / schema evolution existed
+        man = tbl.manifest()
+        mp = tbl._manifest_path(man["version"], man["commit_id"])
+        for k in ("tags", "schema", "next_field_id", "file_schemas",
+                  "stat_ids"):
+            man.pop(k, None)
+        with open(mp, "w") as f:
+            json.dump(man, f)
+        assert tbl.commit_tags() == {"epoch:1"}   # legacy scan path
+        tbl.rename_column(spark, "cell_id", "tile_id")
+        assert tbl.commit_tags() == {"epoch:1"}   # survived the rename
+        assert "epoch:1" in tbl.manifest()["tags"]
+        # and the replay is still deduplicated after the rename
+        from libgeodesk_spark.streaming.ingest import snapshot_batch_committer
+        v = tbl.current_version()
+        snapshot_batch_committer(tbl, "epoch")(
+            _mk(spark, 0, 20).withColumnRenamed("cell_id", "tile_id"), 1)
+        assert tbl.current_version() == v
+
     def test_schema_evolution_add_column(self, spark, tbl):
         tbl.commit(_mk(spark, 0, 50))
         evolved = _mk(spark, 50, 80).withColumn("score", F.col("pid") * 2)

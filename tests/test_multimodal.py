@@ -120,6 +120,47 @@ class TestRealWav:
         back2, _ = mm.decode_avi(patched)
         assert np.array_equal(back2, v)
 
+    def test_avi_with_audio_track_decodes(self):
+        """Real-world AVIs carry an audio strl; its WAVEFORMATEX strf
+        must not be misread as a BITMAPINFOHEADER (review finding r4).
+        Build an interleaved file — audio strl FIRST, so the video is
+        stream 1 and frames are '01db' — and decode byte-exactly."""
+        import struct
+        v = mm.synth_video(2, 16, 8, 3)
+
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body \
+                + (b"\x00" if len(body) % 2 else b"")
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        base = mm.encode_avi(v, fps=8)
+        # audio stream header + WAVEFORMATEX (PCM 16-bit — fields that
+        # read as nonsense bits/compression if parsed as a bitmap header)
+        a_strh = (b"auds" + b"\x00" * 4
+                  + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000,
+                                0, 8000, 2, 0xFFFFFFFF, 2, 0)
+                  + struct.pack("<4H", 0, 0, 0, 0))
+        a_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        audio_strl = lst(b"strl", chunk(b"strh", a_strh)
+                         + chunk(b"strf", a_strf))
+        # splice: [RIFF size AVI ][LIST hdrl ...][LIST movi ...][idx1]
+        # → rebuild hdrl with the audio strl FIRST, renumber frames 01db
+        i_hdrl = base.find(b"LIST") if base[12:16] == b"LIST" else 12
+        hdrl_size = struct.unpack("<I", base[i_hdrl + 4:i_hdrl + 8])[0]
+        hdrl_body = base[i_hdrl + 8:i_hdrl + 8 + hdrl_size]   # 'hdrl'+...
+        rest = base[i_hdrl + 8 + hdrl_size:]
+        i_avih_end = hdrl_body.find(b"LIST")       # first strl starts here
+        new_hdrl_body = (hdrl_body[:i_avih_end] + audio_strl
+                         + hdrl_body[i_avih_end:])
+        rest = rest.replace(b"00db", b"01db")
+        out = (b"LIST" + struct.pack("<I", len(new_hdrl_body))
+               + new_hdrl_body + rest)
+        avi = b"RIFF" + struct.pack("<I", 4 + len(out)) + b"AVI " + out
+        back, fps = mm.decode_avi(avi)
+        assert fps == 8 and np.array_equal(back, v)
+
     def test_avi_compressed_stream_raises(self):
         """A compressed vids stream (biCompression != 0) is the honest
         remaining stub — explicit NotImplementedError, not garbage."""

@@ -57,6 +57,22 @@ class TestWktParse:
         pg = wkt_to_rings("POLYGON ((0 0, 1 0, 1 1))")
         assert (pg[0][0] == pg[0][-1]).all() and len(pg[0]) == 4
 
+    def test_leading_decimal_and_malformed_numbers(self):
+        """'.5' must parse as 0.5 (review finding r4: a digit-required
+        regex split it into '5' — zones at wildly wrong coordinates);
+        partial-parse junk must raise, not half-parse."""
+        from libgeodesk_spark.mercator import x_from_lon, y_from_lat
+        got = wkt_to_rings("POINT (.5 -.25)")[0]
+        assert got[0, 0] == int(x_from_lon(0.5))
+        assert got[0, 1] == int(y_from_lat(-0.25))
+        got2 = wkt_to_rings("POINT (5. 2e1)")[0]
+        assert got2[0, 0] == int(x_from_lon(5.0))
+        assert got2[0, 1] == int(y_from_lat(20.0))
+        with pytest.raises(ValueError, match="coordinate pair"):
+            wkt_to_rings("POINT (1.2.3 4)")
+        with pytest.raises(ValueError, match="coordinate pair"):
+            wkt_to_rings("POINT (abc 4)")
+
     def test_rejects_and_empty(self):
         assert wkt_to_rings("POLYGON EMPTY") == []
         with pytest.raises(ValueError, match="planar"):
