@@ -1,7 +1,8 @@
 """One-command verification: tests → correctness gate → plan audit → bench.
 
 Usage: python tools/run_all.py
-Exit 0 iff everything is green. ~6-8 minutes on local[32].
+Exit 0 iff everything is green. ~25-30 minutes on local[32]
+(316 tests + the 74-query gate + 16 plan audits + bench).
 """
 
 from __future__ import annotations
