@@ -934,6 +934,25 @@ def _q_ann_lsh(spark, sf_dir):
 
 PQ_RECALL_FLOOR = 90   # measured 100 at the sf0.01 gate shape; margin for
                        # float-reduction order in the distributed trainer
+IVFPQ_RECALL_FLOOR = 85   # measured 94 (bounded by IVF probe recall)
+
+
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composed (the FAISS IVFPQ / trillion-vector architecture:
+    probe-pruned ADC scan over 8-byte codes, exact re-rank). Rows-only
+    + self-asserting recall floor, like the other approximate paths."""
+    from libgeodesk_spark.operators.ann import brute_topk, ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivfpq_topk(emb, ANN_QIDS, 10, nprobe=8, shortlist=64).persist()
+    exact = {(r["qid"], r["vec_id"])
+             for r in brute_topk(emb, ANN_QIDS, 10).collect()}
+    got = {(r["qid"], r["vec_id"]) for r in out.collect()}
+    recall = 100.0 * len(got & exact) / max(len(exact), 1)
+    if recall < IVFPQ_RECALL_FLOOR:
+        raise AssertionError(
+            f"ann_ivfpq gate: recall@10 = {recall:.0f} < floor "
+            f"{IVFPQ_RECALL_FLOOR} — probe routing or ADC regressed")
+    return _assert_topk_rows(out, 10)
 
 
 def _q_ann_pq(spark, sf_dir):
@@ -1179,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zoneprep_within": _q_zoneprep_within,
         "snapshot_evolved": _q_snapshot_evolved,
         "stream_within": _q_stream_within,
+        "ann_ivfpq_topk": _q_ann_ivfpq,   # rows-only + recall floor
         # --- last driver record r2: lead the r4 window ----------------
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
@@ -1221,15 +1241,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_to_zone": _q_distance_to_zone,
         "user_sessions": _q_user_sessions,
         "knn_batch": _q_knn_batch,
-        # --- triple-green spatial rows: positions 44-50 (in-window) ---
+        # --- triple-green spatial rows: positions 45-50 (in-window) ---
         "cell_assign": _q_cell_assign,
         "cell_pyramid": _q_cell_pyramid,
         "bbox_window": _q_bbox,
         "within_convex": _q_within("convex"),
         "within_comb": _q_within("comb"),
         "within_holed": _q_within("holed"),
-        "intersects_comb": _q_intersects("comb"),
         # --- beyond the 50-row window: triple-green (r1+r2+r3) --------
+        "intersects_comb": _q_intersects("comb"),
         "contains_point": _q_contains_point,
         "knn_k5": _q_knn(5),
         "knn_k50": _q_knn(50),

@@ -729,6 +729,92 @@ def pq_topk(codes_df: DataFrame, codebooks: np.ndarray,
         .filter(F.col("rank") <= k)
 
 
+def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int,
+               n_lists: int = IVF_LISTS, nprobe: int = IVF_NPROBE,
+               shortlist: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: "np.ndarray | None" = None,
+               codebooks: "np.ndarray | None" = None) -> DataFrame:
+    """IVF+PQ composed — the FAISS IVFPQ architecture, the shape that
+    actually runs at 10¹² vectors: the coarse quantizer routes each
+    query to its ``nprobe`` nearest lists, the ADC scan reads ONLY the
+    8-byte codes of probed lists, and the exact re-rank touches only
+    the ``shortlist`` full-precision rows. The two reductions MULTIPLY:
+    scan IO = (nprobe/n_lists) × corpus × 8 B — with 4,096 lists /
+    8 probes / PQ8 that is ~1/16,000 of the raw float32 bytes.
+
+    ``centroids``/``codebooks``: pass pre-trained artifacts (the
+    at-scale shape — train once, store with the list-partitioned
+    layout); both train in-line when omitted (gate scale).
+    Output schema matches brute_topk: (qid, vec_id, d2, rank)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+    spark = emb.sparkSession
+    cents = (centroids if centroids is not None
+             else ivf_centroids(emb, n_lists, id_col, vec_col))
+    books = codebooks if codebooks is not None \
+        else pq_train(emb, vec_col=vec_col, id_col=id_col, iters=3)
+    tagged = ivf_assign(emb, cents, vec_col)
+    codes = pq_encode(tagged, books, vec_col) \
+        .select("list_id", id_col, "codes")
+
+    qrows_df = emb.filter(F.col(id_col).isin(query_ids)) \
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    qrows = qrows_df.collect()
+    m, ksub, dsub = books.shape
+    tables, probe_rows = {}, []
+    for r in qrows:
+        v = np.asarray(r["qe"], dtype=np.float64)
+        qid = int(r["qid"])
+        d = ((cents - v) ** 2).sum(axis=1)
+        for lid in np.argsort(d)[:nprobe]:
+            probe_rows.append((qid, int(lid)))
+        t = np.empty((m, ksub))
+        for s in range(m):
+            sub = v[s * dsub:(s + 1) * dsub]
+            t[s] = ((books[s] - sub) ** 2).sum(axis=1)
+        tables[qid] = t
+    probes = spark.createDataFrame(probe_rows, "qid long, list_id int")
+    # each code row is scored ONLY against the queries probing its list
+    pc = codes.join(F.broadcast(probes), "list_id")
+    bc = spark.sparkContext.broadcast(tables)
+    out_schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField(id_col, codes.schema[id_col].dataType),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def score(batches):
+        tabs = bc.value
+        rng_m = np.arange(m)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            carr = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            qids = pdf["qid"].to_numpy()
+            adc = np.empty(len(pdf))
+            for qid in np.unique(qids):
+                msk = qids == qid
+                adc[msk] = tabs[int(qid)][rng_m, carr[msk]].sum(axis=1)
+            keep = ids != qids
+            yield pd.DataFrame({"qid": qids[keep], id_col: ids[keep],
+                                "adc": adc[keep]})
+
+    scored = pc.mapInPandas(score, schema=out_schema)
+    ws = Window.partitionBy("qid").orderBy("adc", id_col)
+    short = scored.withColumn("_r", F.row_number().over(ws)) \
+        .filter(F.col("_r") <= shortlist).select("qid", id_col)
+    cand = short.join(emb.select(id_col, vec_col), id_col) \
+        .join(F.broadcast(qrows_df), "qid")
+    d2 = quantized_sq_l2(F.col("qe"), F.col(vec_col)).alias("d2")
+    w = Window.partitionBy("qid").orderBy("d2", id_col)
+    return (cand.select("qid", F.col(id_col).alias("vec_id"), d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def pq_topk_rerank(emb: DataFrame, codes_df: DataFrame,
                    codebooks: np.ndarray, query_ids: list[int], k: int,
                    shortlist: int = 64,

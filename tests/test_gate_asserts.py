@@ -85,6 +85,19 @@ class TestTileGates:
             entry._q_tile_mosaic(spark, SF)
 
 
+class TestIvfPqGate:
+    def test_broken_probes_trip_the_gate(self, spark, monkeypatch):
+        from libgeodesk_spark.operators import ann
+
+        real = ann.ivfpq_topk
+
+        def misrouted(emb, qids, k, **kw):
+            return real(emb, qids, k, **kw).filter("rank > 5")
+        monkeypatch.setattr(ann, "ivfpq_topk", misrouted)
+        with pytest.raises(AssertionError, match="recall"):
+            entry._q_ann_ivfpq(spark, SF)
+
+
 class TestTopkRowContract:
     def test_starved_candidates_trip_the_gate(self, spark, monkeypatch):
         from libgeodesk_spark.operators import ann

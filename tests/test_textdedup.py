@@ -282,6 +282,25 @@ class TestAnn:
         assert rec["ivf"] >= 70, rec
 
 
+class TestIvfPq:
+    def test_ivfpq_recall_and_shape(self, spark):
+        """The composed IVF+PQ path: recall@10 bounded below by the
+        probing recall (ivf ~94 at this corpus), full k rows per query,
+        schema identical to brute_topk."""
+        import __spark_entry__ as e
+        from libgeodesk_spark.operators.ann import brute_topk, ivfpq_topk
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        exact = {(r["qid"], r["vec_id"])
+                 for r in brute_topk(emb, e.ANN_QIDS, 10).collect()}
+        out = ivfpq_topk(emb, e.ANN_QIDS, 10, nprobe=8, shortlist=64)
+        rows = out.collect()
+        assert len(rows) == len(e.ANN_QIDS) * 10
+        assert set(out.columns) == {"qid", "vec_id", "d2", "rank"}
+        got = {(r["qid"], r["vec_id"]) for r in rows}
+        recall = 100 * len(got & exact) / len(exact)
+        assert recall >= 85, recall
+
+
 class TestPipeline:
     def test_clean_corpus(self, docs, emb, con):
         from libgeodesk_spark.operators.pipeline import (
