@@ -117,8 +117,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt_code == 1 and bits == 16:
         s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
     elif fmt_code == 1 and bits == 8:       # 8-bit PCM is UNSIGNED per spec
+        # divide by 128 so sample 0 maps to exactly -1.0 — the output
+        # contract is float32 in [-1, 1] (ADVICE r4: /127 put 0 at
+        # -1.008, outside the contract; 255 now lands at +0.992)
         s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
-             - 128.0) / 127.0
+             - 128.0) / 128.0
     elif fmt_code == 1 and bits == 32:
         s = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483647.0
     elif fmt_code == 3 and bits == 32:

@@ -54,6 +54,16 @@ DEGEN_CAP = 100    # stop-shingle df cap FLOOR (absolute, for small corpora)
 DEGEN_FRAC = 0.02
 
 
+def _exact_key(col: str):
+    """Structural exact-text group key: NULLness is carried as its own
+    field so no sentinel string can collide with the NULL group (a
+    document whose text is literally the sentinel must NOT be treated
+    as a duplicate of null-text docs — ADVICE r4)."""
+    c = F.col(col)
+    return F.struct(c.isNull().alias("_null"),
+                    F.md5(F.coalesce(c, F.lit(""))).alias("_md5"))
+
+
 def _h60(col):
     """md5(col) → 60-bit integer (F.conv is JVM-side)."""
     return F.conv(F.substring(F.md5(col), 1, HEX_LEN), 16, 10).cast("long")
@@ -132,7 +142,7 @@ def simhash_near_dups(df: DataFrame, col="text", id_col="doc_id",
     (cross-group pairs inherit the reps' hamming; intra-group pairs are
     hamming 0; null-text docs have no signature and produce none)."""
     if collapse_exact:
-        key = F.md5(F.coalesce(F.col(col), F.lit("\x00null")))
+        key = _exact_key(col)
         g = (df.select(F.col(id_col).alias("_id"), F.col(col).alias("_t"),
                        key.alias("_k"))
              .groupBy("_k")
@@ -434,7 +444,7 @@ def _collapsed_pairs(df: DataFrame, threshold_pct: int,
     the minhash-LSH and exact ngram-Jaccard ``collapse_exact`` paths;
     see the ``collapse_exact`` contract (output-identical, verified by
     tests/test_textdedup.py equivalence on duplicate-heavy corpora)."""
-    key = F.md5(F.coalesce(F.col(col), F.lit("\x00null")))
+    key = _exact_key(col)
     g = (df.select(F.col(id_col).alias("_id"), F.col(col).alias("_t"),
                    key.alias("_k"))
          .groupBy("_k")

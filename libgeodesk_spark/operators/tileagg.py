@@ -78,7 +78,12 @@ def tile_reencode_metrics(images: DataFrame, salt_hot: bool = False) -> DataFram
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for fmt, grp in pdf.groupby("fmt", sort=True):
-            grp = grp.sort_values("image_id")
+            # (image_id, caption) — the SAME total order as the gate's
+            # JVM-side sort_array(struct(image_id, caption)) digest;
+            # image_id alone leaves duplicate ids with differing
+            # captions order-ambiguous → spurious sha mismatch
+            # (ADVICE r4)
+            grp = grp.sort_values(["image_id", "caption"])
             bytes_in = 0
             bytes_out = 0
             min_psnr = float("inf")

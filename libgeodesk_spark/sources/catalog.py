@@ -129,9 +129,21 @@ class SnapshotTable:
         schema = [{"id": i + 1, "name": f.name,
                    "type": f.dataType.simpleString()}
                   for i, f in enumerate(st.fields)]
-        mapping = {str(c["id"]): c["name"] for c in schema}
-        file_schemas = {self._commit_of(e): dict(mapping)
-                        for e in base_man["files"]}
+        ids = {c["name"]: str(c["id"]) for c in schema}
+        # Per-COMMIT mapping restricted to the columns that commit's
+        # files actually carry: legacy tables with add-column history
+        # have heterogeneous physical schemas, and one shared mapping
+        # would collapse them into a single _projected_scan group whose
+        # plain read samples ONE footer and NULL-fills the rest
+        # (ADVICE r4 — silent data loss on the legacy-upgrade path).
+        by_commit: dict[str, list[str]] = {}
+        for e in base_man["files"]:
+            by_commit.setdefault(self._commit_of(e), []).append(e["path"])
+        file_schemas = {}
+        for cid, paths in by_commit.items():
+            have = spark.read.option("mergeSchema", "true") \
+                .parquet(*paths).schema.names
+            file_schemas[cid] = {ids[n]: n for n in have}
         return schema, len(schema) + 1, file_schemas
 
     def rename_column(self, spark: SparkSession, old: str, new: str,
@@ -450,7 +462,16 @@ class SnapshotTable:
             groups.setdefault(key, (mapping, []))[1].append(e["path"])
         parts = []
         for mapping, paths in groups.values():
-            df = spark.read.parquet(*paths)
+            if mapping is None:
+                # Legacy (pre-evolution) commits share ONE synthesized
+                # group but may span several physical schemas (old
+                # add-column history). A plain read samples one footer
+                # and silently NULL-fills columns absent there —
+                # mergeSchema unions the footers so every legacy column
+                # actually surfaces (ADVICE r4, silent data loss).
+                df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            else:
+                df = spark.read.parquet(*paths)
             have = set(df.columns)
             cols = []
             for c in schema:

@@ -371,3 +371,32 @@ class TestStreamToSnapshot:
         assert state["raced"]
         assert "t:0" in tbl.commit_tags()
         assert tbl.read(spark).count() == 15
+
+    def test_legacy_multi_schema_upgrade_keeps_data(self, spark, tbl):
+        """ADVICE r4 (high): a LEGACY table whose commits span schemas
+        (old add-column history: (pid,cell_id) then (pid,cell_id,score))
+        must surface every column's real values after an evolution
+        commit — one shared synthesized mapping used to collapse both
+        epochs into a single scan group that sampled ONE footer and
+        silently NULL-filled the rest."""
+        tbl.commit(_mk(spark, 0, 20))                               # v1
+        tbl.commit(_mk(spark, 20, 50).withColumn(
+            "score", F.col("pid") * 2))                             # v2
+        # strip the modern keys on disk: simulate a pre-evolution table
+        man = tbl.manifest()
+        mp = tbl._manifest_path(man["version"], man["commit_id"])
+        for k in ("tags", "schema", "next_field_id", "file_schemas",
+                  "stat_ids"):
+            man.pop(k, None)
+        with open(mp, "w") as f:
+            json.dump(man, f)
+        tbl.rename_column(spark, "cell_id", "tile_id")              # v3
+        got = tbl.read(spark).toPandas().sort_values("pid")
+        assert list(got.columns) == ["pid", "tile_id", "score"]
+        old, new = got[got.pid < 20], got[got.pid >= 20]
+        assert old["score"].isna().all()          # files predating score
+        assert (new["score"] == new["pid"] * 2).all()   # REAL values
+        assert (got["tile_id"] == got["pid"] * 7 % 100).all()
+        # pruning still works through the synthesized per-commit maps
+        df, plan = tbl.planned_scan(spark, {"pid": (25, 30)})
+        assert sorted(r.pid for r in df.collect()) == list(range(25, 31))

@@ -100,7 +100,8 @@ class TestRealWav:
                  + b"data" + struct.pack("<I", 3) + q8.tobytes() + b"\x00")
         wav8 = b"RIFF" + struct.pack("<I", len(body8)) + body8
         got8, _ = mm.decode_wav(wav8)
-        assert np.allclose(got8, [(0 - 128) / 127, 0.0, 1.0])
+        # /128: sample 0 -> exactly -1.0, inside the [-1,1] contract
+        assert np.allclose(got8, [-1.0, 0.0, 127 / 128])
 
     def test_decode_real_avi_byte_exact(self):
         """Uncompressed RIFF/AVI round-trips EXACTLY, including the

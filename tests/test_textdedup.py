@@ -128,6 +128,28 @@ class TestDedup:
                        .collect()))
         assert a == b and len(b) > 0
 
+    def test_collapse_key_null_vs_sentinel_text(self, spark):
+        """ADVICE r4: a document whose text is literally the old
+        '\\x00null' sentinel must NOT collapse into the NULL-text group
+        — the group key is structural (isNull, md5), so no string can
+        collide with NULL."""
+        from libgeodesk_spark.operators.dedup import (minhash_lsh_pairs,
+                                                      simhash_near_dups)
+        corpus = spark.createDataFrame(
+            [(1, None), (2, None), (3, "\x00null"), (4, "\x00null"),
+             (5, "an ordinary sentence about maps and tiles " * 3),
+             (6, "an ordinary sentence about maps and tiles " * 3)],
+            "doc_id long, text string")
+        for fn in (minhash_lsh_pairs, simhash_near_dups):
+            pairs = {(r[0], r[1])
+                     for r in fn(corpus, collapse_exact=True).collect()}
+            plain = {(r[0], r[1]) for r in fn(corpus).collect()}
+            assert pairs == plain
+            # sentinel-text docs pair with each other, never with NULLs
+            assert (3, 4) in pairs or (1, 2) not in pairs
+            assert not any({a, b} & {1, 2} and {a, b} & {3, 4}
+                           for a, b in pairs)
+
     def test_ngram_jaccard(self, docs, con):
         from libgeodesk_spark.operators.dedup import (
             ngram_jaccard_pairs,

@@ -93,6 +93,31 @@ class TestTileAgg:
         j = want.merge(got, on=["cell_id", "fmt"], how="outer")
         assert j["count"].equals(j.n_images.astype("int64"))
 
+    def test_metrics_digest_duplicate_image_ids(self, spark, images):
+        """ADVICE r4: duplicate image_ids with DIFFERENT captions in one
+        (cell, fmt) group must digest identically on both sides — the
+        Arrow metrics sort and the JVM sort_array(struct(image_id,
+        caption)) now share the same total order."""
+        from pyspark.sql import functions as F
+
+        from libgeodesk_spark.operators.tileagg import tile_reencode_metrics
+        one = images.limit(1)
+        dup = one.select(
+            "pid", "cell_id", "salt", "image_id", "w", "h", "fmt", "bytes",
+            F.explode(F.array(F.lit("caption B"), F.lit("caption A"),
+                              F.lit("caption C"))).alias("caption"))
+        # shuffle arrival order so a stable-but-wrong sort would differ
+        dup = dup.repartition(3)
+        met = tile_reencode_metrics(dup).toPandas()
+        expect = (dup.groupBy("cell_id", "fmt")
+                  .agg(F.sha2(F.concat_ws("", F.transform(
+                      F.sort_array(F.collect_list(
+                          F.struct("image_id", "caption"))),
+                      lambda s: F.concat(s["caption"], F.lit("\x00")))),
+                      256).alias("want")).toPandas())
+        assert len(met) == 1 and met.n_images.iloc[0] == 3
+        assert met.caption_sha.iloc[0] == expect.want.iloc[0]
+
     def test_metrics_salted_counts(self, images):
         from libgeodesk_spark.operators.tileagg import tile_reencode_metrics
         met = tile_reencode_metrics(images, salt_hot=True).toPandas()
