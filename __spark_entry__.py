@@ -767,26 +767,29 @@ def _q_stream_within(spark, sf_dir):
 def _q_zoneprep_within(spark, sf_dir):
     """INTEGRATION row for the DISTRIBUTED zone-prep path (operators/
     zoneprep.py): gate zones serialized to WKB → executor-side
-    mapInPandas prep (edges + exact cover) → driver assembly → the
-    standard broadcast within-join over all three zones at once.
-    Correct iff the distributed prep is bit-identical to the driver
-    prep AND the multi-zone join is exact — the oracle is the per-zone
-    PIP SQL union."""
+    mapInPandas prep (edges + exact cover) → join_zones_catalog — the
+    Spark-END-TO-END join (r5): the interval build side broadcasts as a
+    DataFrame and the boundary band cogroups with executor-held edge
+    blobs, so NO per-zone object (cover dict, edge array, interval row)
+    ever transits the driver. Correct iff the distributed prep is
+    bit-identical to the driver prep AND the multi-zone join is exact —
+    the oracle is the per-zone PIP SQL union."""
     import numpy as np
 
     from libgeodesk_spark.geom.wkb import rings_to_wkb
-    from libgeodesk_spark.operators.spatial_join import join_zones
-    from libgeodesk_spark.operators.zoneprep import prepare_zones
+    from libgeodesk_spark.operators.spatial_join import join_zones_catalog
+    from libgeodesk_spark.operators.zoneprep import prepared_zones_df
     from libgeodesk_spark.sources.points import GATE_ZONES
     wkb = spark.createDataFrame(
         [(n, bytearray(rings_to_wkb([np.array(r) for r in rings],
                                     merc=True)))
          for n, rings in GATE_ZONES.items()],
         "zone_id string, wkb binary")
-    zones = prepare_zones(wkb, n_slices=4)
+    prepped = prepared_zones_df(wkb, n_slices=4)
     pts = _points(spark, sf_dir)
-    return join_zones(pts, zones, predicate="within",
-                      columns=["image_id"]).select("image_id", "zone_id")
+    return join_zones_catalog(pts, prepped, predicate="within",
+                              columns=["image_id"]) \
+        .select("image_id", "zone_id")
 
 
 def _q_snapshot_evolved(spark, sf_dir):
@@ -953,6 +956,55 @@ def _q_ann_ivfpq(spark, sf_dir):
             f"ann_ivfpq gate: recall@10 = {recall:.0f} < floor "
             f"{IVFPQ_RECALL_FLOOR} — probe routing or ADC regressed")
     return _assert_topk_rows(out, 10)
+
+
+def _q_ann_ivfpq_persisted(spark, sf_dir):
+    """The 'train once, STORE, load' contract exercised end-to-end
+    (VERDICT r4 #3): IVF centroids + PQ codebooks train, round-trip
+    through a parquet quantizer artifact (ann.save_quantizer /
+    load_quantizer), and the IVF+PQ answer is built from the RELOADED
+    arrays. Self-asserting twice: the reload must be bit-exact (else
+    every stored list/code would be misrouted at scale) AND recall@10
+    must clear the same floor as the in-line-trained row."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from libgeodesk_spark.operators.ann import (
+        brute_topk, ivf_centroids, ivfpq_topk, load_quantizer, pq_train,
+        save_quantizer)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from libgeodesk_spark.operators.ann import IVF_LISTS
+    cents = ivf_centroids(emb, IVF_LISTS)
+    books = pq_train(emb, iters=3)
+    qdir = tempfile.mkdtemp(prefix="spark_graft_quant_")
+    try:
+        save_quantizer(spark, qdir + "/q", centroids=cents,
+                       codebooks=books,
+                       meta={"n_lists": IVF_LISTS, "pq": "8x8"})
+        q = load_quantizer(spark, qdir + "/q")
+        if not (np.array_equal(q["centroids"], cents)
+                and np.array_equal(q["codebooks"], books)
+                and q["meta"]["n_lists"] == IVF_LISTS):
+            raise AssertionError(
+                "ann_ivfpq_persisted gate: reloaded quantizer is not "
+                "bit-identical to the trained one")
+        out = ivfpq_topk(emb, ANN_QIDS, 10, n_lists=IVF_LISTS, nprobe=8,
+                         shortlist=64, centroids=q["centroids"],
+                         codebooks=q["codebooks"]).persist()
+        exact = {(r["qid"], r["vec_id"])
+                 for r in brute_topk(emb, ANN_QIDS, 10).collect()}
+        got = {(r["qid"], r["vec_id"]) for r in out.collect()}
+        recall = 100.0 * len(got & exact) / max(len(exact), 1)
+        if recall < IVFPQ_RECALL_FLOOR:
+            raise AssertionError(
+                f"ann_ivfpq_persisted gate: recall@10 = {recall:.0f} < "
+                f"floor {IVFPQ_RECALL_FLOOR} — reloaded quantizer "
+                f"misroutes")
+        return _assert_topk_rows(out, 10)
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
 
 
 def _q_ann_pq(spark, sf_dir):
@@ -1185,70 +1237,31 @@ def _q_zone_bbox(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's CORRECTNESS run records the FIRST 50
-    entries only. Round-4 rotation (VERDICT r3 'Next round' #2): the
-    text/dedup/ANN/tile/TPC rows whose last DRIVER record is r2 lead —
-    including the now SELF-ASSERTING rows-only gates (recall/PSNR floors
-    raise, so the driver can record `err`) — followed by the r3-window
-    rows. The triple-green spatial rows (r1+r2+r3 records, least likely
-    to regress) take the tail; pytest + check_oracle still cover them
-    every round. After r4 every query's newest driver record is <= 1
-    round old."""
+    entries only. Round-5 rotation (VERDICT r4 'Next round' #6): lead
+    with (a) rows NEW or with a CHANGED implementation this round
+    (quantizer persistence; zoneprep_within now Spark end-to-end; real
+    PNG under the tile gates; structural dedup keys; catalog legacy
+    reads), then (b) the 25 rows whose newest driver record is r3
+    (spatial/zone/GOQL/topology/stream_dedup/text_features), then (c)
+    refreshed r4 rows filling the window. The r4-recorded multi-green
+    rows take the tail; pytest + check_oracle still cover them every
+    round. After r5 every query's newest driver record is <= 1 round
+    old. In-window boundary (position 50) = ann_cosine_topk."""
     return {
-        # --- NEW this round (no driver record yet) --------------------
-        "zoneprep_within": _q_zoneprep_within,
-        "snapshot_evolved": _q_snapshot_evolved,
-        "stream_within": _q_stream_within,
-        "ann_ivfpq_topk": _q_ann_ivfpq,   # rows-only + recall floor
-        # --- last driver record r2: lead the r4 window ----------------
-        "exact_dedup": _q_exact_dedup,
-        "simhash": _q_simhash,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "minhash_lsh_pairs": _q_minhash_lsh,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh,       # rows-only + top-k row contract
-        "ann_ivf_topk": _q_ann_ivf,       # rows-only + top-k row contract
-        "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
-        "ann_recall": _q_ann_recall,      # rows-only + RECALL FLOOR assert
-        "ann_pq_topk": _q_ann_pq,         # rows-only + PQ recall floor
-        "tile_captions": _q_tile_captions,
-        "tile_metrics": _q_tile_metrics,  # rows-only + PSNR/caption assert
-        "tile_mosaic": _q_tile_mosaic,    # rows-only + conservation assert
-        "tile_stats": _q_tile_stats,
-        "hot_cells": _q_hot_cells,
-        "colocated_grid": _q_colocated,
-        "tpch_q1": _q_tpch_q1,
-        "events_by_type": _q_events_by_type,
-        "orders_by_segment": _q_orders_by_segment,
-        # --- r3-window rows (one driver record, r3) -------------------
-        "rel_members_recursive": _q_rel_members_recursive,
-        "way_crossing": _q_way_crossing,
-        "stream_snapshot": _q_stream_snapshot,
-        "ann_recall_d256": _q_ann_recall_d256,  # rows-only + recall floor
-        "knn_join": _q_knn_join,
-        "near_pairs": _q_near_pairs,
-        "asof_views": _q_asof_views,
+        # --- (a) new or implementation-changed this round -------------
+        "ann_ivfpq_persisted": _q_ann_ivfpq_persisted,  # rows-only+asserts
+        "zoneprep_within": _q_zoneprep_within,       # now end-to-end Spark
+        "tile_metrics": _q_tile_metrics,  # real PNG; rows-only + asserts
+        "tile_mosaic": _q_tile_mosaic,    # real PNG; rows-only + asserts
+        "simhash_near_dups": _q_simhash_near_dups,   # structural null key
+        "minhash_lsh_pairs": _q_minhash_lsh,         # structural null key
+        "ngram_jaccard_pairs": _q_ngram_jaccard,     # structural null key
+        "snapshot_evolved": _q_snapshot_evolved,     # legacy-read fix path
         "snapshot_scan": _q_snapshot_scan,
         "snapshot_within": _q_snapshot_within,
-        "clean_corpus": _q_clean_corpus,
-        "phash_near_dups": _q_phash_near_dups,
-        "stream_window_counts": _q_stream_window_counts,
-        "stream_join": _q_stream_join,
-        "stream_sessions": _q_stream_sessions,
-        "cell_hulls": _q_cell_hulls,      # rows-only + invariant asserts
-        "cell_ring": _q_cell_ring,
-        "emb_near_dup": _q_emb_near_dup,
-        "distance_to_zone": _q_distance_to_zone,
-        "user_sessions": _q_user_sessions,
-        "knn_batch": _q_knn_batch,
-        # --- triple-green spatial rows: positions 45-50 (in-window) ---
-        "cell_assign": _q_cell_assign,
-        "cell_pyramid": _q_cell_pyramid,
-        "bbox_window": _q_bbox,
-        "within_convex": _q_within("convex"),
-        "within_comb": _q_within("comb"),
-        "within_holed": _q_within("holed"),
-        # --- beyond the 50-row window: triple-green (r1+r2+r3) --------
+        "stream_snapshot": _q_stream_snapshot,
+        "knn_join": _q_knn_join,                     # megacity pre-top-k
+        # --- (b) newest driver record r3: lead the refresh ------------
         "intersects_comb": _q_intersects("comb"),
         "contains_point": _q_contains_point,
         "knn_k5": _q_knn(5),
@@ -1274,6 +1287,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": _q_zorder,
         "stream_dedup": _q_stream_dedup,
         "text_features": _q_text_features,
+        # --- (c) r4-recorded rows refreshed inside the window ---------
+        "stream_within": _q_stream_within,
+        "ann_ivfpq_topk": _q_ann_ivfpq,   # rows-only + recall floor
+        "ann_recall": _q_ann_recall,      # rows-only + RECALL FLOOR assert
+        "ann_recall_d256": _q_ann_recall_d256,  # rows-only + recall floor
+        "ann_pq_topk": _q_ann_pq,         # rows-only + PQ recall floor
+        "ann_lsh_topk": _q_ann_lsh,       # rows-only + top-k row contract
+        "ann_ivf_topk": _q_ann_ivf,       # rows-only + top-k row contract
+        "tile_captions": _q_tile_captions,
+        "tile_stats": _q_tile_stats,
+        "exact_dedup": _q_exact_dedup,
+        "simhash": _q_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
+        # --- beyond the 50-row window: r4-recorded multi-green --------
+        "clean_corpus": _q_clean_corpus,
+        "phash_near_dups": _q_phash_near_dups,
+        "stream_window_counts": _q_stream_window_counts,
+        "stream_join": _q_stream_join,
+        "stream_sessions": _q_stream_sessions,
+        "cell_hulls": _q_cell_hulls,      # rows-only + invariant asserts
+        "cell_ring": _q_cell_ring,
+        "emb_near_dup": _q_emb_near_dup,
+        "distance_to_zone": _q_distance_to_zone,
+        "user_sessions": _q_user_sessions,
+        "knn_batch": _q_knn_batch,
+        "near_pairs": _q_near_pairs,
+        "asof_views": _q_asof_views,
+        "hot_cells": _q_hot_cells,
+        "colocated_grid": _q_colocated,
+        "tpch_q1": _q_tpch_q1,
+        "events_by_type": _q_events_by_type,
+        "orders_by_segment": _q_orders_by_segment,
+        "rel_members_recursive": _q_rel_members_recursive,
+        "way_crossing": _q_way_crossing,
+        "cell_assign": _q_cell_assign,
+        "cell_pyramid": _q_cell_pyramid,
+        "bbox_window": _q_bbox,
+        "within_convex": _q_within("convex"),
+        "within_comb": _q_within("comb"),
+        "within_holed": _q_within("holed"),
     }
 
 

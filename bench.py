@@ -26,6 +26,49 @@ def build_spark(cpus: int):
     return build_session("libgeodesk_spark-bench", cpus=cpus)
 
 
+#: quiet-window raw-codec throughput on this box at full width (img/s),
+#: pinned from the same probe run under BENCH/BASELINE.md §controls
+#: conditions; a pre-run probe below PROBE_CONTENTION_BAND × this pin
+#: flags the whole bench JSON as contended (host-level bandwidth
+#: pressure is invisible to this VM's loadavg — r4 postmortem)
+BANDWIDTH_PROBE_PIN = float(os.environ.get("SPARK_GRAFT_PROBE_PIN",
+                                           "55830"))
+PROBE_CONTENTION_BAND = 0.80
+
+
+def _probe_codec_chunk(args):
+    lo, hi = args
+    from libgeodesk_spark.media import codec
+    from libgeodesk_spark.sources.images import fmt_for, size_for
+    for pid in range(lo, hi):
+        w, h = size_for(pid)
+        blob = codec.encode(codec.synth_pixels(pid, w, h), fmt_for(pid))
+        px, f = codec.decode(blob)
+        out = codec.encode(px, f)
+        px2, _ = codec.decode(out)
+        codec.psnr(px, px2)
+    return hi - lo
+
+
+def bandwidth_probe(n_images: int = 160_000, procs: int | None = None
+                    ) -> float:
+    """~5 s of the raw image codec (no Spark, multiprocessing over all
+    cores) — the memory-bandwidth proxy from BENCH/BASELINE.md
+    §hardware-ceiling controls, run BEFORE the timed queries. Returns
+    img/s; the caller compares against BANDWIDTH_PROBE_PIN to flag
+    host-level contention as recorded evidence instead of a post-hoc
+    explanation (VERDICT r4 'Next round' #4)."""
+    import multiprocessing as mp
+    procs = procs or os.cpu_count() or 8
+    n_chunks = procs * 4
+    chunks = [(i * n_images // n_chunks, (i + 1) * n_images // n_chunks)
+              for i in range(n_chunks)]
+    with mp.Pool(procs) as p:
+        t0 = time.time()
+        total = sum(p.map(_probe_codec_chunk, chunks))
+    return total / (time.time() - t0)
+
+
 def bench_points(spark, sf_dir: str, repl: int):
     """Derived points × repl (distinct pids per replica) — deterministic."""
     from pyspark.sql import functions as F
@@ -181,14 +224,24 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "4"))
+    if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
+        probe = round(bandwidth_probe(), 1)
+        contended = probe < PROBE_CONTENTION_BAND * BANDWIDTH_PROBE_PIN
+    else:
+        probe, contended = None, None
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     fingerprint = env_fingerprint(cpus, repl)
+    fingerprint["bandwidth_probe_img_per_sec"] = probe
+    fingerprint["bandwidth_probe_pin"] = BANDWIDTH_PROBE_PIN
+    fingerprint["contention_band"] = PROBE_CONTENTION_BAND
     # warm the JVM/codegen once at tiny scale so headline numbers measure
     # the engine, not session startup
     run(spark, "/root/testdata/sf0.001", 1)
     result = run(spark, sf_dir, repl)
     result["cpus"] = cpus
+    result["bandwidth_probe"] = probe
+    result["contended"] = contended
     result["env"] = fingerprint
     print(json.dumps(result))
     spark.stop()

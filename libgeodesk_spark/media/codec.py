@@ -1,22 +1,31 @@
-"""Deterministic self-contained image codec (fake but honest).
+"""Deterministic self-contained image codec — real PNG, stand-in lossy.
 
-The container has no PIL/libjpeg, so image decode/encode is implemented as
-a deterministic stand-in codec with REAL lossless/lossy semantics (per the
-build instructions: stub the codec, keep the Spark-side plumbing real):
-
-* ``bmp``  — raw RGB bytes (lossless)
-* ``png``  — zlib-compressed RGB (lossless)
+* ``png``  — REAL spec-level PNG (since r5): 8-byte signature,
+  IHDR/IDAT/IEND chunks with big-endian lengths and CRC-32s, zlib
+  stream of filter-prefixed scanlines. Encode emits filter 0 (None) RGB
+  truecolor; decode accepts all five PNG filter types (None/Sub/Up/
+  Average/Paeth), multiple IDAT chunks, and RGB (color type 2) or RGBA
+  (6, alpha dropped) at bit depth 8 — i.e. the PNGs external tools
+  actually write round-trip here, and blobs written here open in any
+  external viewer. Interlace / palette / 16-bit raise the honest
+  NotImplementedError (same boundary policy as compressed audio).
+  Legacy ``FPNG`` blobs still decode.
+* ``bmp``  — raw RGB bytes (lossless, private FBMP container)
 * ``jpeg`` — uniform quantization (step Q=6) + zlib (LOSSY: decoded pixels
   differ from the source; PSNR ≈ 43 dB > the 40 dB gate), mirroring a
   quality-ladder JPEG in spirit: encode is deterministic and idempotent
   (re-encoding already-quantized pixels is the identity, like re-saving a
-  JPEG with the same quant tables).
+  JPEG with the same quant tables). The container has no libjpeg, so
+  this stays a private FJPG container (honest stand-in).
 
 All functions are numpy-vectorized per image; batch loops live in Arrow
-UDF wrappers (operators/tileagg.py), never per-pixel Python.
+UDF wrappers (operators/tileagg.py), never per-pixel Python. (Decode of
+inbound Average/Paeth-filtered rows is the one per-pixel path — a
+sequential data dependency the spec imposes; our own blobs are filter 0
+and stay vectorized.)
 
-Container format (little-endian):
-  magic[4] = b'FBMP' | b'FPNG' | b'FJPG', then uint16 w, uint16 h,
+Private container format (little-endian):
+  magic[4] = b'FBMP' | b'FJPG', then uint16 w, uint16 h,
   (jpeg only: uint8 q), then payload bytes.
 """
 
@@ -28,8 +37,9 @@ import zlib
 import numpy as np
 
 MAGIC_BMP = b"FBMP"
-MAGIC_PNG = b"FPNG"
+MAGIC_PNG = b"FPNG"          # legacy private container (decode-only)
 MAGIC_JPG = b"FJPG"
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 JPEG_Q = 6  # quantization step -> MSE ~ (Q^2-1)/12 ~ 2.9 -> PSNR ~ 43.5 dB
 
@@ -68,13 +78,116 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     return acc.astype(np.uint8)
 
 
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Spec-level PNG: RGB8 truecolor, filter 0 scanlines, one IDAT."""
+    h, w = pixels.shape[:2]
+    u8 = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(h, w * 3)
+    lines = np.zeros((h, 1 + w * 3), dtype=np.uint8)   # col 0 = filter 0
+    lines[:, 1:] = u8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_defilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9): recon from the five
+    filter types. Sub is vectorized via per-channel cumsum; Average and
+    Paeth reconstruct left-to-right (the data dependency is inherent)."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG data length {len(raw)} != {h}×(1+{stride})")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not arr[:, 0].any():
+        # all-None fast path (what our encoder and the hot re-encode
+        # loop produce): defilter is a pure slice copy, no row loop
+        px = np.ascontiguousarray(arr[:, 1:]).reshape(h, w, bpp)
+        return px[:, :, :3] if bpp == 4 else px
+    out = np.zeros((h, stride), dtype=np.int32)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1] if y else zero
+        if ft == 0:
+            rec = row
+        elif ft == 1:    # Sub: + recon left — cumsum per channel lane
+            rec = np.cumsum(row.reshape(w, bpp), axis=0,
+                            dtype=np.int64).reshape(stride) & 0xFF
+        elif ft == 2:    # Up
+            rec = (row + prior) & 0xFF
+        elif ft == 3:    # Average
+            rec = row
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth
+            rec = row
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prior[x])
+                c = int(out[y - 1, x - bpp]) if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} out of range")
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, bpp)
+    return px[:, :, :3] if bpp == 4 else px
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Parse a real PNG: chunk walk with CRC verification, IDAT concat,
+    defilter. RGB/RGBA bit-depth-8 non-interlaced only (the honest
+    boundary); alpha is dropped to the (h, w, 3) pixel contract."""
+    if bytes(data[:8]) != PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", bytes(data[pos:pos + 4]))
+        ctype = bytes(data[pos + 4:pos + 8])
+        payload = bytes(data[pos + 8:pos + 8 + ln])
+        if len(payload) != ln:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", bytes(data[pos + 8 + ln:pos + 12 + ln]))
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or color not in (2, 6) or comp or filt:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color}: only RGB/RGBA "
+                    f"bit-depth 8 decodes here (no palette/gray/16-bit)")
+            if interlace:
+                raise NotImplementedError("Adam7 interlace not supported")
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    bpp = 4 if color == 6 else 3
+    return _png_defilter(zlib.decompress(b"".join(idat)), w, h, bpp)
+
+
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     h, w = pixels.shape[:2]
     u8 = np.ascontiguousarray(pixels, dtype=np.uint8)
     if fmt == "bmp":
         return MAGIC_BMP + struct.pack("<HH", w, h) + u8.tobytes()
     if fmt == "png":
-        return MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(u8.tobytes(), 6)
+        return encode_png(u8)
     if fmt == "jpeg":
         q = JPEG_Q
         # uint8-native quantization: (255//6)*6+3 = 255, so no overflow
@@ -87,12 +200,14 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(data: bytes) -> tuple[np.ndarray, str]:
+    if bytes(data[:8]) == PNG_SIG:
+        return decode_png(data), "png"
     magic = bytes(data[:4])
     if magic == MAGIC_BMP:
         w, h = struct.unpack("<HH", bytes(data[4:8]))
         px = np.frombuffer(data, dtype=np.uint8, offset=8).reshape(h, w, 3)
         return px, "bmp"
-    if magic == MAGIC_PNG:
+    if magic == MAGIC_PNG:          # legacy private container
         w, h = struct.unpack("<HH", bytes(data[4:8]))
         raw = zlib.decompress(bytes(data[8:]))
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), "png"

@@ -540,6 +540,56 @@ def write_ivf_layout(emb: DataFrame, path: str,
     tagged.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
 
+def save_quantizer(spark, path: str, *,
+                   centroids: "np.ndarray | None" = None,
+                   codebooks: "np.ndarray | None" = None,
+                   planes: "np.ndarray | None" = None,
+                   biases: "np.ndarray | None" = None,
+                   meta: dict | None = None) -> None:
+    """Persist trained ANN quantizer artifacts (IVF coarse centroids,
+    PQ codebooks, LSH hyperplanes/biases) as ONE parquet dataset.
+
+    At trillion-vector scale the quantizer IS the persistent artifact:
+    the data layout (write_ivf_layout / write_lsh_layout / pq codes) is
+    only valid relative to the exact arrays that produced it, so a
+    restart must reload — never retrain — them (retraining yields
+    different centroids → every stored list/bucket/code is misrouted).
+    Arrays are stored as raw little-endian float64 bytes + shape, so
+    load is BIT-exact (pytest pins array equality); ``meta`` (dims,
+    n_lists, seeds, …) rides along as JSON."""
+    import json as _json
+    rows = []
+    for kind, arr in (("centroids", centroids), ("codebooks", codebooks),
+                      ("planes", planes), ("biases", biases)):
+        if arr is not None:
+            a = np.ascontiguousarray(arr, dtype="<f8")
+            rows.append((kind, list(a.shape), bytearray(a.tobytes())))
+    if meta is not None:
+        rows.append(("meta", [],
+                     bytearray(_json.dumps(meta, sort_keys=True)
+                               .encode())))
+    if not rows:
+        raise ValueError("save_quantizer: nothing to save")
+    spark.createDataFrame(rows, "kind string, shape array<long>, "
+                                "data binary") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_quantizer(spark, path: str) -> dict:
+    """Reload :func:`save_quantizer` artifacts — bit-exact ndarrays
+    under their kind names + ``meta`` dict (absent kinds → None)."""
+    import json as _json
+    out = {"centroids": None, "codebooks": None, "planes": None,
+           "biases": None, "meta": None}
+    for r in spark.read.parquet(path).collect():
+        if r["kind"] == "meta":
+            out["meta"] = _json.loads(bytes(r["data"]).decode())
+        else:
+            out[r["kind"]] = np.frombuffer(
+                bytes(r["data"]), dtype="<f8").reshape(r["shape"])
+    return out
+
+
 def synth_embeddings(spark, n: int, dim: int, n_clusters: int = 32,
                      jitter: float = 0.08, seed: int = 0x5D2F) -> DataFrame:
     """Deterministic clustered corpus at ARBITRARY dimension — the

@@ -295,6 +295,14 @@ def max_meters_from(points: DataFrame, meters: float, qx: int, qy: int,
 # kNN JOIN: the k nearest neighbors of EVERY point (or a query subset)
 # ---------------------------------------------------------------------------
 
+#: sub-keys the first-stage top-k window splits each (query, cell)
+#: partition into (hash of id_b): bounds the one-task sort a megacity
+#: cell would otherwise impose on an adjacent late-round query at
+#: cell_points/KNN_W1_SALT rows, at the cost of the final per-query
+#: window seeing ≤ 9·KNN_W1_SALT·k survivors instead of ≤ 9·k
+KNN_W1_SALT = 16
+
+
 def knn_join(points: DataFrame, k: int, id_col: str = "pid",
              x_col: str = "x", y_col: str = "y",
              queries: DataFrame | None = None,
@@ -327,10 +335,12 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
     * Each round re-scans the candidate side once, shuffle-joined on
       the round's grid key; the active set shrinks geometrically, and a
       cell-partitioned layout prunes the candidate scan to active
-      neighborhoods (the kNN IN-pushdown story). Remaining documented
-      gap at 100 TB: a late-round sparse query adjacent to a megacity
-      cell pulls that cell's full candidate list through one window —
-      bounded by per-(query, cell) pre-top-k if it ever dominates.
+      neighborhoods (the kNN IN-pushdown story). The former megacity
+      tail gap — a late-round sparse query adjacent to a megacity cell
+      sorting that cell's whole g-ball in one window task — is closed
+      by the SALTED per-(query, cell, id-hash) pre-top-k
+      (``KNN_W1_SALT``; measured on a 30 %-one-cell fixture in
+      BENCH/KNNJOIN.md).
 
     ``queries``: optional DataFrame with the same id/x/y columns to
     restrict the query side (the join's left side); candidates are
@@ -476,12 +486,24 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
             # the dominant cost: dense-block candidates pulled by
             # adjacent sparse queries at coarse rounds.
             cand = cand.filter(F.col("d2") <= F.lit(g * g))
-        # two-stage top-k: per-(query, candidate-cell) first — bounds
-        # any single window partition at 9 cells' worth of survivors and
-        # parallelizes the dense-cell ranking across its 9 neighborhoods
-        w1 = Window.partitionBy("id_a", "hx", "hy").orderBy("d2", "id_b")
-        cand = cand.withColumn("r1", F.row_number().over(w1)) \
-            .filter(F.col("r1") <= kk).drop("r1", "hx", "hy")
+        # two-stage top-k, SALTED: per-(query, candidate-cell, salt)
+        # first. The megacity tail (VERDICT r4 #5): a late-round sparse
+        # query adjacent to a cell holding a large share of all points
+        # pulls that cell's whole g-ball through ONE window partition —
+        # the per-(query, cell) stage alone still sorts it in one task.
+        # Hashing id_b into KNN_W1_SALT sub-keys splits that sort into
+        # KNN_W1_SALT parallel tasks, each keeping its own top-k; the
+        # final per-query window then sees ≤ 9·KNN_W1_SALT·k rows
+        # (vs one sort over the cell's entire g-ball; measured on a
+        # 30%-one-cell fixture in BENCH/KNNJOIN.md). For unskewed cells
+        # (≤ k candidates per salt) the salt adds zero survivor rows —
+        # only the heavy partitions split.
+        w1 = Window.partitionBy("id_a", "hx", "hy", "_ks") \
+            .orderBy("d2", "id_b")
+        cand = cand.withColumn(
+            "_ks", F.pmod(F.xxhash64("id_b"), F.lit(KNN_W1_SALT))) \
+            .withColumn("r1", F.row_number().over(w1)) \
+            .filter(F.col("r1") <= kk).drop("r1", "hx", "hy", "_ks")
         w = Window.partitionBy("id_a").orderBy("d2", "id_b")
         # ONE materialization per round: stats, the resolved slice, and
         # the anti-join all reuse the checkpointed top-k instead of each

@@ -298,6 +298,9 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
                             prefilter_bbox=prefilter_bbox, columns=columns,
                             single_pass=single_pass,
                             intervals=None if intervals is None else
+                            intervals.filter(F.col("zone_id").isin(
+                                [z.zone_id for z in zones if z.zoom == zm]))
+                            if isinstance(intervals, DataFrame) else
                             intervals[intervals["zone_id"].isin(
                                 {z.zone_id for z in zones
                                  if z.zoom == zm})],
@@ -372,7 +375,11 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
         .alias("_cc"),
         F.shiftright(F.lit(0x7FFFFFFF) - F.col(y_col).cast("long"), shift)
         .alias("_rr"))
-    if intervals is not None:
+    if isinstance(intervals, DataFrame):
+        # executor-built interval frame (zoneprep.intervals_table) used
+        # AS-IS: the build side never transits the driver as Python rows
+        iv = intervals.select("cell_row", "c0", "c1", "zone_id", "cover")
+    elif intervals is not None:
         from pyspark.sql import types as _T
         iv_schema = _T.StructType([
             _T.StructField("cell_row", _T.LongType(), False),
@@ -467,6 +474,228 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
 
     boundary = bnd.mapInPandas(locate_batches, schema=out_schema)
     return turbo.unionByName(boundary)
+
+
+#: default interval-broadcast budget for join_zones_catalog: ~8M rows ×
+#: ~33 B/row ≈ 260 MB — comfortably under Spark's 8 GB broadcast hard
+#: cap and a sane executor-memory share; past it the catalog region-
+#: partitions into separate joins (the >10⁵-zone mitigation named in
+#: BENCH/ZONEPREP.md)
+CATALOG_IV_BUDGET = 8_000_000
+
+#: coarse grid for region partitioning (zoom 6 → ≤4096 occupied cells
+#: worldwide); cells bin-pack into regions so each region's interval
+#: build side fits the budget. Driver sees one skinny stat row per
+#: OCCUPIED cell — O(min(zones, 4096)) metadata, never geometry.
+REGION_ZOOM = 6
+
+
+def join_zones_catalog(points: DataFrame, prepped: DataFrame,
+                       predicate: Predicate = "within",
+                       x_col: str = "x", y_col: str = "y",
+                       prefilter_bbox: bool = True,
+                       columns: list[str] | None = None,
+                       max_broadcast_intervals: int = CATALOG_IV_BUDGET,
+                       region_zoom: int = REGION_ZOOM,
+                       boundary_salt: int = 1) -> DataFrame:
+    """points × prepared-zone-CATALOG join, Spark end-to-end.
+
+    ``prepped`` is the :func:`operators.zoneprep.prepared_zones_df`
+    artifact frame (or the same rows re-loaded from parquet /
+    SnapshotTable). Unlike :func:`join_zones`, NO per-zone object ever
+    reaches the driver (VERDICT r4 #1):
+
+    * build side: the run-length interval table is exploded from the
+      artifacts ON EXECUTORS (``zoneprep.intervals_table``) and handed
+      to Spark's JVM BroadcastExchange via ``F.broadcast`` — the former
+      ``collect_prepared_light`` pandas assembly (O(intervals)
+      driver-serial, 16 s at 10k zones) disappears;
+    * boundary band: skinny candidate rows CO-GROUP with the per-zone
+      edge blobs on ``zone_id`` — each executor deserializes only the
+      edges of the zones it probes; total edge bytes never sit on one
+      machine (this is also what lifts the ~1 GB sc.broadcast edge
+      ceiling);
+    * driver work: per-(zoom[, region-cell]) AGGREGATE rows only —
+      O(#zooms + #occupied-region-cells) skinny tuples, independent of
+      edge/cover/interval counts.
+
+    Past ``max_broadcast_intervals`` the catalog REGION-PARTITIONS: zones
+    group by the coarse grid cell of their bbox center, cells bin-pack
+    (z-order, spatially coherent) into regions whose interval sum fits
+    the budget, and each region runs its own broadcast join against the
+    bbox-filtered probe — each probe scan prunes to the region's window
+    at the parquet level, so R regions cost R pruned scans, not R full
+    ones. A single over-budget cell further splits by zone-id hash.
+
+    Output rows/values are byte-identical to
+    ``join_zones(points, zones, ...)`` over the same catalog (pytest
+    pins both regimes); one row per (point, zone) membership.
+
+    ``prepped`` is re-read once per (zoom, region) — pass a
+    parquet/SnapshotTable-backed frame (or ``.persist()`` it) for
+    multi-region catalogs so zone geometry is not re-prepared per
+    region; this function persists it defensively when region
+    partitioning activates.
+
+    ``boundary_salt`` > 1 scatters each zone's boundary band over that
+    many cogroup keys (edge blobs duplicated per salt) — opt in when one
+    zone's boundary dominates (megacity skew) on a real cluster.
+    """
+    spark = points.sparkSession
+    min_loc = _MIN_LOC[predicate]
+    out_cols = list(columns) if columns is not None else \
+        [c for c in points.columns]
+    final_cols = list(dict.fromkeys(out_cols + ["zone_id"]))
+    need = list(dict.fromkeys(out_cols + [x_col, y_col]))
+
+    # ---- driver metadata: one aggregate row per zoom -------------------
+    zmeta = (prepped.groupBy("zoom")
+             .agg(F.count("*").alias("n_zones"),
+                  F.min("min_x").alias("mnx"), F.min("min_y").alias("mny"),
+                  F.max("max_x").alias("mxx"), F.max("max_y").alias("mxy"),
+                  (F.sum(F.length("iv_rows")) / 8).alias("n_iv"))
+             .collect())
+    if not zmeta:
+        raise ValueError("join_zones_catalog: empty prepared catalog")
+    total_iv = int(sum(r["n_iv"] for r in zmeta))
+
+    if prefilter_bbox:
+        points = bbox_filter(points,
+                             min(r["mnx"] for r in zmeta),
+                             min(r["mny"] for r in zmeta),
+                             max(r["mxx"] for r in zmeta),
+                             max(r["mxy"] for r in zmeta), x_col, y_col)
+
+    def one_join(pz: DataFrame, zoom: int, pts: DataFrame) -> DataFrame:
+        """One broadcast interval join + cogrouped boundary band."""
+        from libgeodesk_spark.operators.zoneprep import intervals_table
+        shift = 32 - zoom
+        probe = pts.select(
+            *need,
+            F.shiftright(F.col(x_col).cast("long") + F.lit(1 << 31), shift)
+            .alias("_cc"),
+            F.shiftright(F.lit(0x7FFFFFFF) - F.col(y_col).cast("long"),
+                         shift).alias("_rr"))
+        iv = intervals_table(pz)
+        cand = probe.join(
+            F.broadcast(iv),
+            (F.col("_rr") == F.col("cell_row"))
+            & (F.col("_cc") >= F.col("c0")) & (F.col("_cc") <= F.col("c1")),
+            "inner").drop("cell_row", "c0", "c1", "_cc", "_rr")
+        turbo = cand.filter(F.col("cover") == INSIDE).select(*final_cols)
+        bnd_cols = list(dict.fromkeys(final_cols + [x_col, y_col]))
+        bnd = cand.filter(F.col("cover") == BOUNDARY).select(*bnd_cols)
+        edges = pz.select("zone_id", "edges")
+        if boundary_salt > 1:
+            salt = F.pmod(F.xxhash64(F.col(x_col), F.col(y_col)),
+                          F.lit(boundary_salt)).cast("int")
+            bnd = bnd.withColumn("_bsalt", salt)
+            edges = edges.select(
+                "zone_id", "edges",
+                F.explode(F.sequence(F.lit(0), F.lit(boundary_salt - 1)))
+                .alias("_bsalt"))
+            keys = ["zone_id", "_bsalt"]
+        else:
+            keys = ["zone_id"]
+        out_schema = turbo.schema
+        min_loc_f, xc, yc = min_loc, x_col, y_col
+
+        def locate_group(left: pd.DataFrame, right: pd.DataFrame):
+            if len(left) == 0 or len(right) == 0:
+                return left.iloc[0:0][final_cols]
+            edg = np.frombuffer(bytes(right["edges"].iloc[0]),
+                                dtype="<i8").astype(np.int64).reshape(-1, 4)
+            loc = kernel.locate_points(left[xc].to_numpy(),
+                                       left[yc].to_numpy(), edg)
+            return left.loc[loc >= min_loc_f, final_cols]
+
+        boundary = bnd.groupBy(*keys).cogroup(edges.groupBy(*keys)) \
+            .applyInPandas(locate_group, schema=out_schema)
+        return turbo.unionByName(boundary)
+
+    # ---- single-broadcast regime --------------------------------------
+    if total_iv <= max_broadcast_intervals:
+        parts = [one_join(prepped.filter(F.col("zoom") == r["zoom"]),
+                          int(r["zoom"]), points) for r in zmeta]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---- region-partitioned regime (past the broadcast ceiling) -------
+    # project away the cover binaries FIRST: this join reads only bbox /
+    # intervals / edges, and a 10⁵-zone catalog's exact covers are ~10×
+    # the interval+edge bytes — persisting them OOMed an 8 GB heap.
+    # DISK_ONLY keeps the (serialized, compact) artifact slices off-heap;
+    # with spark.local.dir on /dev/shm that is still RAM-speed.
+    from pyspark import StorageLevel
+    prepped = prepped.select(
+        "zone_id", "zoom", "min_x", "min_y", "max_x", "max_y",
+        "edges", "iv_rows", "iv_c0", "iv_c1", "iv_cover") \
+        .persist(StorageLevel.DISK_ONLY)
+    shift = 32 - region_zoom
+    cx = (F.col("min_x") + F.col("max_x")) / 2
+    cy = (F.col("min_y") + F.col("max_y")) / 2
+    rc = (F.shiftleft(
+        F.shiftright(cx.cast("long") + F.lit(1 << 31), shift), 20)
+        + F.shiftright(F.lit(0x7FFFFFFF) - cy.cast("long"), shift))
+    cells = (prepped.withColumn("_rc", rc)
+             .groupBy("_rc", "zoom")
+             .agg((F.sum(F.length("iv_rows")) / 8).alias("n_iv"),
+                  F.min("min_x").alias("mnx"), F.min("min_y").alias("mny"),
+                  F.max("max_x").alias("mxx"), F.max("max_y").alias("mxy"))
+             .collect())          # O(occupied cells × zooms) skinny rows
+    # bin-pack cells (z-order of _rc keeps regions spatially coherent)
+    assign = []                   # (_rc, zoom, region, n_splits)
+    rbox: dict[int, list] = {}    # region -> [mnx, mny, mxx, mxy]
+    region, acc = 0, 0
+    for r in sorted(cells, key=lambda r: (r["_rc"], r["zoom"])):
+        iv_n = int(r["n_iv"])
+        splits = 1
+        if iv_n > max_broadcast_intervals:
+            # one cell over budget: split its zones by id hash (and
+            # close any partially-filled region first so no split
+            # region also carries accumulated cells)
+            splits = -(-iv_n // max_broadcast_intervals)
+            if acc:
+                region, acc = region + 1, 0
+        elif acc and acc + iv_n > max_broadcast_intervals:
+            region, acc = region + 1, 0
+        assign.append((int(r["_rc"]), int(r["zoom"]), region, splits))
+        for s in range(splits):
+            box = rbox.setdefault(region + s, [r["mnx"], r["mny"],
+                                               r["mxx"], r["mxy"]])
+            box[0] = min(box[0], r["mnx"])
+            box[1] = min(box[1], r["mny"])
+            box[2] = max(box[2], r["mxx"])
+            box[3] = max(box[3], r["mxy"])
+        if splits > 1:
+            region, acc = region + splits, 0
+        else:
+            acc += iv_n
+    amap = spark.createDataFrame(
+        assign, "_rc long, zoom int, _rbase int, _rsplits int")
+    tagged = (prepped.withColumn("_rc", rc)
+              .join(F.broadcast(amap), ["_rc", "zoom"])
+              .withColumn("_region", F.col("_rbase") + F.pmod(
+                  F.crc32(F.col("zone_id")), F.col("_rsplits")).cast("int")))
+    zooms_by_region: dict[int, set] = {}
+    for _rc, zm, base, splits in assign:
+        for s in range(splits):
+            zooms_by_region.setdefault(base + s, set()).add(zm)
+    parts = []
+    for reg, zooms in sorted(zooms_by_region.items()):
+        box = rbox[reg]
+        pts_r = bbox_filter(points, box[0], box[1], box[2], box[3],
+                            x_col, y_col) if prefilter_bbox else points
+        for zm in sorted(zooms):
+            pz = tagged.filter((F.col("_region") == reg)
+                               & (F.col("zoom") == zm))
+            parts.append(one_join(pz, zm, pts_r))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def crossing_segments(segments: DataFrame, zones: list[PreparedZone],

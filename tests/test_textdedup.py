@@ -322,6 +322,42 @@ class TestIvfPq:
         recall = 100 * len(got & exact) / len(exact)
         assert recall >= 85, recall
 
+    def test_quantizer_save_load_bit_exact(self, spark, tmp_path):
+        """Quantizer persistence (VERDICT r4 #3): IVF centroids, PQ
+        codebooks, LSH planes+biases round-trip through the parquet
+        artifact BIT-exactly, and an IVF+PQ answer built from the
+        reloaded arrays equals the one from the in-memory arrays
+        row-for-row."""
+        import numpy as np
+
+        from libgeodesk_spark.operators.ann import (
+            ivf_centroids, ivfpq_topk, load_quantizer, lsh_plane_matrix,
+            pq_train, save_quantizer)
+        import __spark_entry__ as e
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        cents = ivf_centroids(emb, 32)
+        books = pq_train(emb, iters=2)
+        planes = lsh_plane_matrix(16, 64)
+        biases = np.linspace(-0.5, 0.5, 16)
+        path = str(tmp_path / "q")
+        save_quantizer(spark, path, centroids=cents, codebooks=books,
+                       planes=planes, biases=biases,
+                       meta={"dim": 64, "n_lists": 32})
+        q = load_quantizer(spark, path)
+        for name, want in (("centroids", cents), ("codebooks", books),
+                           ("planes", planes), ("biases", biases)):
+            assert q[name].dtype == np.float64
+            assert np.array_equal(q[name], want), name
+        assert q["meta"] == {"dim": 64, "n_lists": 32}
+        a = sorted(map(tuple, ivfpq_topk(
+            emb, e.ANN_QIDS[:4], 5, n_lists=32, nprobe=8, shortlist=64,
+            centroids=cents, codebooks=books).collect()))
+        b = sorted(map(tuple, ivfpq_topk(
+            emb, e.ANN_QIDS[:4], 5, n_lists=32, nprobe=8, shortlist=64,
+            centroids=q["centroids"], codebooks=q["codebooks"])
+            .collect()))
+        assert a == b and len(a) == 20
+
 
 class TestPipeline:
     def test_clean_corpus(self, docs, emb, con):

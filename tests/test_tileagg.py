@@ -37,6 +37,126 @@ class TestCodec:
         assert 0 < codec.psnr(a, b) < 40
 
 
+def _ext_png(px: np.ndarray, filters: list[int], color: int = 2,
+             idat_split: int | None = None) -> bytes:
+    """INDEPENDENT spec-level PNG writer (test-side): forward-filters
+    each scanline per PNG spec §9 with the given per-row filter types —
+    cross-validates codec.decode_png's DEfiltering against a separately
+    written FILTERing implementation (what external encoders emit)."""
+    import struct
+    import zlib
+    h, w = px.shape[:2]
+    bpp = 4 if color == 6 else 3
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = px[y].reshape(-1).astype(np.int32)
+        raw.append(ft)
+        for x in range(w * bpp):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prior[x])
+            c = int(prior[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                v = cur[x]
+            elif ft == 1:
+                v = cur[x] - a
+            elif ft == 2:
+                v = cur[x] - b
+            elif ft == 3:
+                v = cur[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                v = cur[x] - pr
+            raw.append(v & 0xFF)
+        prior = cur
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+    z = zlib.compress(bytes(raw), 9)
+    if idat_split:
+        idat = chunk(b"IDAT", z[:idat_split]) + chunk(b"IDAT",
+                                                      z[idat_split:])
+    else:
+        idat = chunk(b"IDAT", z)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat
+            + chunk(b"IEND", b""))
+
+
+class TestRealPng:
+    def test_structural_layout(self):
+        """Encoded blobs are genuine PNGs: signature, big-endian chunk
+        lengths, valid CRCs, IHDR(8-bit RGB, no interlace), IEND last."""
+        import struct
+        import zlib
+        data = codec.encode(codec.synth_pixels(3, 20, 10), "png")
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, types = 8, []
+        while pos < len(data):
+            (ln,) = struct.unpack(">I", data[pos:pos + 4])
+            t = data[pos + 4:pos + 8]
+            payload = data[pos + 8:pos + 8 + ln]
+            (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+            assert crc == (zlib.crc32(t + payload) & 0xFFFFFFFF)
+            types.append(t)
+            pos += 12 + ln
+        assert types == [b"IHDR", b"IDAT", b"IEND"] and pos == len(data)
+        w, h, depth, color, comp, filt, inter = struct.unpack(
+            ">IIBBBBB", data[16:29])
+        assert (w, h, depth, color, comp, filt, inter) == \
+            (20, 10, 8, 2, 0, 0, 0)
+
+    @pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4],
+                                         [0, 1, 2, 3, 4], [4, 3, 1]])
+    def test_decodes_externally_filtered_png(self, filters):
+        """Every PNG filter type (and mixes), written by the INDEPENDENT
+        test-side encoder, decodes to the exact source pixels — the
+        'reference-generated PNG' interop criterion."""
+        px = codec.synth_pixels(91, 23, 17)
+        got, fmt = codec.decode(_ext_png(px, filters))
+        assert fmt == "png" and np.array_equal(got, px)
+
+    def test_rgba_alpha_dropped_and_multi_idat(self):
+        px = codec.synth_pixels(13, 9, 7)
+        rgba = np.concatenate(
+            [px, np.full((7, 9, 1), 200, dtype=np.uint8)], axis=2)
+        got, fmt = codec.decode(_ext_png(rgba, [0, 4], color=6,
+                                         idat_split=10))
+        assert fmt == "png" and np.array_equal(got, px)
+
+    def test_bad_crc_and_unsupported_raise(self):
+        px = codec.synth_pixels(1, 8, 8)
+        data = bytearray(codec.encode(px, "png"))
+        data[20] ^= 0xFF                      # corrupt IHDR payload
+        with pytest.raises(ValueError, match="CRC"):
+            codec.decode(bytes(data))
+        import struct
+        import zlib
+
+        def chunk(t, p):
+            return (struct.pack(">I", len(p)) + t + p
+                    + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+        pal = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)))
+        with pytest.raises(NotImplementedError, match="palette|RGB"):
+            codec.decode(pal)
+
+    def test_legacy_fpng_still_decodes(self):
+        import struct
+        import zlib
+        px = codec.synth_pixels(77, 12, 5)
+        legacy = (b"FPNG" + struct.pack("<HH", 12, 5)
+                  + zlib.compress(px.tobytes(), 6))
+        got, fmt = codec.decode(legacy)
+        assert fmt == "png" and np.array_equal(got, px)
+
+
 @pytest.fixture(scope="module")
 def images(spark, sf_dir):
     from libgeodesk_spark.sources.images import images_table

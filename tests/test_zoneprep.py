@@ -202,3 +202,86 @@ class TestZonePrepDistributed:
         want = prepare_zone_from_wkb("mp", data)
         np.testing.assert_array_equal(z.edges, want.edges)
         assert z.cover == want.cover and len(z.cover) > 0
+
+
+class TestCatalogJoinEndToEnd:
+    """join_zones_catalog: no per-zone object on the driver (VERDICT r4
+    #1) — build side broadcast as a DataFrame, boundary band cogrouped
+    with executor-held edge blobs, region-partitioned past the ceiling.
+    Every regime must be row-identical to the driver-assembled path."""
+
+    @pytest.fixture(scope="class")
+    def mixed_catalog(self, spark):
+        big = np.array([[-200_000_000, 500_000_000],
+                        [800_000_000, 500_000_000],
+                        [800_000_000, 900_000_000],
+                        [-200_000_000, 900_000_000],
+                        [-200_000_000, 500_000_000]], dtype=np.int64)
+        rows = _gate_zone_wkb_rows() + [
+            ("big", bytearray(rings_to_wkb([big], merc=True)))]
+        df = spark.createDataFrame(rows, "zone_id string, wkb binary")
+        prepped = prepared_zones_df(df).persist()
+        prepped.count()
+        yield prepped
+        prepped.unpersist()
+
+    @pytest.fixture(scope="class")
+    def pts(self, spark):
+        from libgeodesk_spark.sources.points import derived_points
+        return derived_points(spark, "/root/testdata/sf0.001") \
+            .select("image_id", "x", "y", "cell_id")
+
+    def _want(self, pts, prepped):
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        full = collect_prepared(prepped)
+        return sorted(map(tuple,
+                          join_zones(pts, full, predicate="within",
+                                     columns=["image_id"])
+                          .select("image_id", "zone_id").collect()))
+
+    def test_single_broadcast_regime(self, spark, pts, mixed_catalog):
+        from libgeodesk_spark.operators.spatial_join import (
+            join_zones_catalog)
+        got = sorted(map(tuple,
+                         join_zones_catalog(pts, mixed_catalog,
+                                            columns=["image_id"])
+                         .select("image_id", "zone_id").collect()))
+        assert got == self._want(pts, mixed_catalog) and len(got) > 0
+
+    def test_region_partitioned_regime(self, spark, pts, mixed_catalog):
+        """A tiny interval budget forces region bin-packing AND the
+        hash-split of an over-budget cell; output must not change."""
+        from libgeodesk_spark.operators.spatial_join import (
+            join_zones_catalog)
+        got = sorted(map(tuple,
+                         join_zones_catalog(pts, mixed_catalog,
+                                            columns=["image_id"],
+                                            max_broadcast_intervals=300)
+                         .select("image_id", "zone_id").collect()))
+        assert got == self._want(pts, mixed_catalog) and len(got) > 0
+
+    def test_boundary_salt_identical(self, spark, pts, mixed_catalog):
+        from libgeodesk_spark.operators.spatial_join import (
+            join_zones_catalog)
+        got = sorted(map(tuple,
+                         join_zones_catalog(pts, mixed_catalog,
+                                            columns=["image_id"],
+                                            boundary_salt=3)
+                         .select("image_id", "zone_id").collect()))
+        assert got == self._want(pts, mixed_catalog) and len(got) > 0
+
+    def test_join_zones_accepts_interval_dataframe(self, spark, pts,
+                                                   mixed_catalog):
+        """join_zones(intervals=<Spark DataFrame>) — the executor-built
+        frame used directly as the broadcast build side, incl. the
+        mixed-zoom recursion filtering it per zoom group."""
+        from libgeodesk_spark.operators.spatial_join import join_zones
+        from libgeodesk_spark.operators.zoneprep import (
+            collect_prepared_light, intervals_table)
+        light, _ = collect_prepared_light(mixed_catalog)
+        iv = intervals_table(mixed_catalog)
+        got = sorted(map(tuple,
+                         join_zones(pts, light, predicate="within",
+                                    columns=["image_id"], intervals=iv)
+                         .select("image_id", "zone_id").collect()))
+        assert got == self._want(pts, mixed_catalog) and len(got) > 0
