@@ -32,7 +32,7 @@ def build_spark(cpus: int):
 #: flags the whole bench JSON as contended (host-level bandwidth
 #: pressure is invisible to this VM's loadavg — r4 postmortem)
 BANDWIDTH_PROBE_PIN = float(os.environ.get("SPARK_GRAFT_PROBE_PIN",
-                                           "55830"))
+                                           "52205"))
 PROBE_CONTENTION_BAND = 0.80
 
 

@@ -10,7 +10,12 @@
   external viewer. Interlace / palette / 16-bit raise the honest
   NotImplementedError (same boundary policy as compressed audio).
   Legacy ``FPNG`` blobs still decode.
-* ``bmp``  — raw RGB bytes (lossless, private FBMP container)
+* ``bmp``  — REAL spec-level Windows BMP (since r5): BITMAPFILEHEADER +
+  BITMAPINFOHEADER, 24-bit BI_RGB, BGR rows bottom-up padded to 4-byte
+  stride. Decode also accepts 32-bit (BGRA, alpha dropped), top-down
+  (negative height) rows, and any info-header ≥ 40 bytes (V4/V5) —
+  the BMPs external tools actually write. Palette / RLE / 16-bit raise
+  the honest NotImplementedError. Legacy ``FBMP`` blobs still decode.
 * ``jpeg`` — uniform quantization (step Q=6) + zlib (LOSSY: decoded pixels
   differ from the source; PSNR ≈ 43 dB > the 40 dB gate), mirroring a
   quality-ladder JPEG in spirit: encode is deterministic and idempotent
@@ -25,8 +30,8 @@ sequential data dependency the spec imposes; our own blobs are filter 0
 and stay vectorized.)
 
 Private container format (little-endian):
-  magic[4] = b'FBMP' | b'FJPG', then uint16 w, uint16 h,
-  (jpeg only: uint8 q), then payload bytes.
+  magic[4] = b'FJPG', then uint16 w, uint16 h, uint8 q, then payload
+  bytes (b'FBMP'/b'FPNG' are the legacy decode-only equivalents).
 """
 
 from __future__ import annotations
@@ -36,10 +41,11 @@ import zlib
 
 import numpy as np
 
-MAGIC_BMP = b"FBMP"
+MAGIC_BMP = b"FBMP"          # legacy private container (decode-only)
 MAGIC_PNG = b"FPNG"          # legacy private container (decode-only)
 MAGIC_JPG = b"FJPG"
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+BMP_SIG = b"BM"
 
 JPEG_Q = 6  # quantization step -> MSE ~ (Q^2-1)/12 ~ 2.9 -> PSNR ~ 43.5 dB
 
@@ -181,11 +187,61 @@ def decode_png(data: bytes) -> np.ndarray:
     return _png_defilter(zlib.decompress(b"".join(idat)), w, h, bpp)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Spec-level Windows BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER, 24-bit BI_RGB, BGR bottom-up rows padded to a
+    4-byte stride — the maximally-compatible shape every viewer reads.
+    Fully vectorized (one reversed-slice copy into the padded row
+    buffer; no per-pixel Python)."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    img_size = h * stride
+    header = (BMP_SIG
+              + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            img_size, 2835, 2835, 0, 0))
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Parse a real BMP: BI_RGB 24-bit (and 32-bit BGRA, alpha dropped),
+    bottom-up or top-down rows, info header ≥ 40 bytes (accepts V4/V5
+    headers external tools emit). Palette/RLE/16-bit raise — the honest
+    boundary."""
+    if bytes(data[:2]) != BMP_SIG:
+        raise ValueError("not a BMP signature")
+    (offset,) = struct.unpack("<I", bytes(data[10:14]))
+    (hdr_size,) = struct.unpack("<I", bytes(data[14:18]))
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP core header ({hdr_size} B): only BITMAPINFOHEADER+ "
+            f"(≥40 B) decodes here")
+    w, hh, _planes, bpp, comp = struct.unpack("<iiHHI", bytes(data[18:34]))
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only uncompressed "
+            f"24/32-bit BI_RGB decodes here (no palette/RLE/16-bit)")
+    top_down, h = hh < 0, abs(hh)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if offset + h * stride > len(data):
+        raise ValueError(f"BMP data truncated: need {h * stride} B at "
+                         f"offset {offset}, have {len(data)}")
+    raw = np.frombuffer(data, dtype=np.uint8, count=h * stride,
+                        offset=offset).reshape(h, stride)
+    px = raw[:, :w * nch].reshape(h, w, nch)[:, :, 2::-1]  # BGR(A)→RGB
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     h, w = pixels.shape[:2]
     u8 = np.ascontiguousarray(pixels, dtype=np.uint8)
     if fmt == "bmp":
-        return MAGIC_BMP + struct.pack("<HH", w, h) + u8.tobytes()
+        return encode_bmp(u8)
     if fmt == "png":
         return encode_png(u8)
     if fmt == "jpeg":
@@ -202,8 +258,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 def decode(data: bytes) -> tuple[np.ndarray, str]:
     if bytes(data[:8]) == PNG_SIG:
         return decode_png(data), "png"
+    if bytes(data[:2]) == BMP_SIG:
+        return decode_bmp(data), "bmp"
     magic = bytes(data[:4])
-    if magic == MAGIC_BMP:
+    if magic == MAGIC_BMP:          # legacy private container
         w, h = struct.unpack("<HH", bytes(data[4:8]))
         px = np.frombuffer(data, dtype=np.uint8, offset=8).reshape(h, w, 3)
         return px, "bmp"

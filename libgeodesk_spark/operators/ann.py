@@ -796,7 +796,16 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int,
     ``centroids``/``codebooks``: pass pre-trained artifacts (the
     at-scale shape — train once, store with the list-partitioned
     layout); both train in-line when omitted (gate scale).
-    Output schema matches brute_topk: (qid, vec_id, d2, rank)."""
+    Output schema matches brute_topk: (qid, vec_id, d2, rank).
+
+    SIZING CONTRACT (measured, BENCH/SF1.md): ``shortlist`` must cover
+    the query's near-equidistant neighborhood. ADC error is the PQ
+    quantization noise, so points whose true-distance spread to the
+    query is below that noise are ADC-indistinguishable and the
+    shortlist picks among them arbitrarily — a corpus whose local
+    cluster holds 3,900 near-duplicates saw recall@10 collapse to ~5
+    with shortlist=128 and recover once shortlist ≳ the shell size.
+    Same contract as FAISS IVFPQ's k'/efSearch."""
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
@@ -856,7 +865,14 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int,
     ws = Window.partitionBy("qid").orderBy("adc", id_col)
     short = scored.withColumn("_r", F.row_number().over(ws)) \
         .filter(F.col("_r") <= shortlist).select("qid", id_col)
-    cand = short.join(emb.select(id_col, vec_col), id_col) \
+    # the shortlist is BOUNDED at |queries| × shortlist rows but carries
+    # no stats (window over mapInPandas), so past the auto-broadcast
+    # threshold Spark would pick a SortMergeJoin and SHUFFLE THE WHOLE
+    # CORPUS just to fetch the shortlisted vectors (caught by the plan
+    # assert in tools/ivfpq_scale_bench.py at 10⁶×256-d). Broadcast the
+    # skinny side explicitly: the fetch stays a corpus-side-stationary
+    # BroadcastHashJoin at any corpus size.
+    cand = emb.select(id_col, vec_col).join(F.broadcast(short), id_col) \
         .join(F.broadcast(qrows_df), "qid")
     d2 = quantized_sq_l2(F.col("qe"), F.col(vec_col)).alias("d2")
     w = Window.partitionBy("qid").orderBy("d2", id_col)
@@ -881,7 +897,9 @@ def pq_topk_rerank(emb: DataFrame, codes_df: DataFrame,
              for r in qrows.collect()}
     short = pq_topk(codes_df, codebooks, qvecs, shortlist, id_col=id_col) \
         .select("qid", id_col)
-    cand = short.join(emb.select(id_col, vec_col), id_col) \
+    # bounded at |queries| × shortlist rows — broadcast it so fetching
+    # the full-precision rows never shuffles the corpus (see ivfpq_topk)
+    cand = emb.select(id_col, vec_col).join(F.broadcast(short), id_col) \
         .join(F.broadcast(qrows), "qid")
     d2 = quantized_sq_l2(F.col("qe"), F.col(vec_col)).alias("d2")
     w = Window.partitionBy("qid").orderBy("d2", id_col)

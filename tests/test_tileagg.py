@@ -157,6 +157,103 @@ class TestRealPng:
         assert fmt == "png" and np.array_equal(got, px)
 
 
+def _ext_bmp(px: np.ndarray, bpp: int = 24, top_down: bool = False,
+             hdr_size: int = 40) -> bytes:
+    """INDEPENDENT spec-level BMP writer (test-side): builds the file
+    byte-by-byte per the Windows spec — BGR(A) rows, 4-byte stride
+    padding, bottom-up unless ``top_down`` (negative height), optional
+    V5-size info header — cross-validating codec.decode_bmp against a
+    separately written implementation (what external tools emit)."""
+    import struct
+    h, w = px.shape[:2]
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    body = bytearray()
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(px[y, x, 0]), int(px[y, x, 1]),
+                       int(px[y, x, 2]))
+            row += bytes([b, g, r] + ([0xAB] if nch == 4 else []))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    info = struct.pack("<IiiHHIIiiII", hdr_size, w,
+                       -h if top_down else h, 1, bpp, 0, len(body),
+                       0, 0, 0, 0)
+    info += b"\x00" * (hdr_size - 40)
+    off = 14 + hdr_size
+    return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + info + bytes(body))
+
+
+class TestRealBmp:
+    def test_structural_layout(self):
+        """Encoded blobs are genuine BMPs: 'BM' signature, correct file
+        size and data offset, BITMAPINFOHEADER with 24-bit BI_RGB, and
+        4-byte-padded bottom-up rows."""
+        import struct
+        px = codec.synth_pixels(21, 5, 3)      # w=5 → stride 16, pad 1
+        data = codec.encode(px, "bmp")
+        assert data[:2] == b"BM"
+        size, _, _, off = struct.unpack("<IHHI", data[2:14])
+        assert size == len(data) and off == 54
+        (hsz, w, h, planes, bpp, comp, isz) = struct.unpack(
+            "<IiiHHII", data[14:38])
+        assert (hsz, w, h, planes, bpp, comp) == (40, 5, 3, 1, 24, 0)
+        assert isz == 3 * 16 and off + isz == len(data)
+        # bottom-up: first stored row is the image's LAST row, BGR
+        assert data[54:57] == bytes(px[2, 0, ::-1])
+
+    @pytest.mark.parametrize("bpp,top_down,hdr_size",
+                             [(24, False, 40), (24, True, 40),
+                              (32, False, 40), (32, True, 124),
+                              (24, False, 108)])
+    def test_decodes_external_bmps(self, bpp, top_down, hdr_size):
+        """24/32-bit, both row orders, and V4/V5 header sizes written by
+        the INDEPENDENT test-side encoder decode to the exact source
+        pixels (alpha dropped)."""
+        px = codec.synth_pixels(55, 7, 5)      # odd width → row padding
+        got, fmt = codec.decode(_ext_bmp(px, bpp, top_down, hdr_size))
+        assert fmt == "bmp" and np.array_equal(got, px)
+
+    def test_roundtrip_through_external_decoder(self):
+        """Our encoder's output parses with the test-side INDEPENDENT
+        field-by-field reader (not just our own decode)."""
+        import struct
+        px = codec.synth_pixels(9, 6, 4)
+        data = codec.encode(px, "bmp")
+        (off,) = struct.unpack("<I", data[10:14])
+        w, h = struct.unpack("<ii", data[18:26])
+        stride = (w * 3 + 3) & ~3
+        for y in range(h):
+            srow = data[off + (h - 1 - y) * stride:][:w * 3]
+            for x in range(w):
+                assert srow[x * 3:x * 3 + 3] == bytes(px[y, x, ::-1])
+
+    def test_unsupported_raise(self):
+        px = codec.synth_pixels(2, 4, 4)
+        rle = bytearray(_ext_bmp(px))
+        rle[30:34] = (1).to_bytes(4, "little")       # BI_RLE8
+        with pytest.raises(NotImplementedError, match="compression"):
+            codec.decode(bytes(rle))
+        pal = bytearray(_ext_bmp(px))
+        pal[28:30] = (8).to_bytes(2, "little")       # 8-bit palette
+        with pytest.raises(NotImplementedError, match="bpp"):
+            codec.decode(bytes(pal))
+        core = bytearray(_ext_bmp(px))
+        core[14:18] = (12).to_bytes(4, "little")     # BITMAPCOREHEADER
+        with pytest.raises(NotImplementedError, match="core header"):
+            codec.decode(bytes(core))
+
+    def test_legacy_fbmp_still_decodes(self):
+        import struct
+        px = codec.synth_pixels(31, 10, 6)
+        legacy = b"FBMP" + struct.pack("<HH", 10, 6) + px.tobytes()
+        got, fmt = codec.decode(legacy)
+        assert fmt == "bmp" and np.array_equal(got, px)
+
+
 @pytest.fixture(scope="module")
 def images(spark, sf_dir):
     from libgeodesk_spark.sources.images import images_table

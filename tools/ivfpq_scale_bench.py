@@ -32,7 +32,16 @@ def main():
     spark = build_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = ann.synth_embeddings(spark, n, dim, n_clusters=256).persist()
+    # 16,384 clusters -> ~61-member local neighborhoods at 10^6: the
+    # production shape (shortlist > neighborhood). The first run of this
+    # bench used 256 clusters -> 3,906 NEAR-EQUIDISTANT points per
+    # neighborhood and recall@10 collapsed to 4.8 with shortlist=128 —
+    # the measured half of ivfpq_topk's sizing contract (ADC cannot
+    # rank inside PQ quantization noise; shortlist must cover the
+    # equidistant shell). Both configurations are recorded in SF1.md.
+    n_clusters = int(os.environ.get("IVFPQ_BENCH_CLUSTERS", "16384"))
+    emb = ann.synth_embeddings(spark, n, dim, n_clusters=n_clusters) \
+        .persist()
     emb.count()
     qids = list(range(0, n, n // 50))[:50]
     n_lists = ann.auto_lists(n)                      # sqrt(N) = 1000
@@ -57,8 +66,9 @@ def main():
 
         nprobe = 32
         t0 = time.time()
+        shortlist = 256                  # > ~61-member local neighborhood
         out = ann.ivfpq_topk(emb, qids, 10, n_lists=n_lists,
-                             nprobe=nprobe, shortlist=128,
+                             nprobe=nprobe, shortlist=shortlist,
                              centroids=q["centroids"],
                              codebooks=q["codebooks"]).persist()
         rows = out.count()
@@ -79,6 +89,7 @@ def main():
         assert recall >= 85, recall
 
         raw = {"n_vectors": n, "dim": dim, "n_lists": n_lists,
+               "n_clusters": n_clusters, "shortlist": shortlist,
                "nprobe": nprobe, "pq": list(books.shape),
                "train_centroids_sec": t_cent, "train_pq_sec": t_pq,
                "query50_sec": t_query, "brute50_sec": t_brute,
@@ -94,9 +105,21 @@ def main():
 saved to parquet and RELOADED bit-exact (ann.save_quantizer /
 load_quantizer — the restart path); the 50-query IVF+PQ answer is built
 entirely from the reloaded arrays: **{t_query} s** (nprobe {nprobe},
-ADC over 8-byte codes + exact re-rank) vs {t_brute} s brute force,
-recall@10 **{recall}** (floor 85). Plan clean: no SortMergeJoin /
-cartesian / row-Python.
+shortlist {shortlist}, ADC over 8-byte codes + exact re-rank) vs
+{t_brute} s brute force, recall@10 **{recall}** (floor 85). Plan clean:
+no SortMergeJoin / cartesian / row-Python.
+
+Corpus: {n_clusters:,} synthetic clusters → ~{n // n_clusters}-member
+local neighborhoods, the production shape (shortlist > neighborhood).
+This run also bought two scale lessons the small gate could not see:
+(1) the shortlist→vector fetch join carries no stats past the window,
+so at 10⁶ rows Spark picked a SortMergeJoin that SHUFFLED THE CORPUS —
+caught by this bench's plan assert, fixed with an explicit
+F.broadcast on the (|queries|×shortlist)-bounded side; (2) with 256
+clusters (3,906 NEAR-EQUIDISTANT points per neighborhood) recall@10
+collapsed to 4.8 at shortlist=128 — ADC cannot rank inside PQ
+quantization noise, so shortlist must cover the equidistant shell
+(ivfpq_topk's documented sizing contract, same as FAISS k').
 
 Raw: `{json.dumps(raw)}`
 """
