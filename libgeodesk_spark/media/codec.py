@@ -20,8 +20,17 @@
   differ from the source; PSNR ≈ 43 dB > the 40 dB gate), mirroring a
   quality-ladder JPEG in spirit: encode is deterministic and idempotent
   (re-encoding already-quantized pixels is the identity, like re-saving a
-  JPEG with the same quant tables). The container has no libjpeg, so
-  this stays a private FJPG container (honest stand-in).
+  JPEG with the same quant tables). This stays the hot-path FJPG
+  container — the Huffman layer of real JPEG is inherently sequential
+  and would dominate the memory-bandwidth-bound re-encode stage.
+* ``jpeg_baseline`` — REAL spec-level baseline JPEG/JFIF (since r5,
+  media/jpeg.py): ITU-T T.81 SOF0, Annex K quant + Huffman tables,
+  4:4:4 encode; decode accepts grayscale/YCbCr at 4:4:4/4:2:2/4:2:0,
+  restart markers, multi-segment DQT/DHT — i.e. the JPEGs external
+  tools actually write. Inbound real JPEGs (0xFFD8 SOI) decode
+  transparently; progressive/12-bit raise the honest
+  NotImplementedError. This is the interchange boundary; the engine's
+  internal quality ladder stays FJPG.
 
 All functions are numpy-vectorized per image; batch loops live in Arrow
 UDF wrappers (operators/tileagg.py), never per-pixel Python. (Decode of
@@ -244,6 +253,9 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(u8)
     if fmt == "png":
         return encode_png(u8)
+    if fmt == "jpeg_baseline":     # real T.81 interchange encode
+        from libgeodesk_spark.media import jpeg as _jpeg
+        return _jpeg.encode_jpeg(u8, quality=95)
     if fmt == "jpeg":
         q = JPEG_Q
         # uint8-native quantization: (255//6)*6+3 = 255, so no overflow
@@ -258,6 +270,9 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 def decode(data: bytes) -> tuple[np.ndarray, str]:
     if bytes(data[:8]) == PNG_SIG:
         return decode_png(data), "png"
+    if bytes(data[:2]) == b"\xff\xd8":   # real JPEG SOI
+        from libgeodesk_spark.media import jpeg as _jpeg
+        return _jpeg.decode_jpeg(data), "jpeg_baseline"
     if bytes(data[:2]) == BMP_SIG:
         return decode_bmp(data), "bmp"
     magic = bytes(data[:4])

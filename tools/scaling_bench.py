@@ -273,8 +273,17 @@ def main():
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written `###` sections (probe pin, round postmortems)
+    # appended after the generated `##` sections of a previous run
+    manual = ""
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = f.read()
+        i = prev.find("\n### ")
+        if i >= 0:
+            manual = prev[i:]
     with open(out_path, "w") as f:
-        f.write("\n".join(md) + "\n")
+        f.write("\n".join(md) + "\n" + manual)
     print(f"wrote {out_path}; spatial join efficiency = "
           f"{effs['spatial_join_within']:.2f}")
 
