@@ -23,12 +23,14 @@
   JPEG with the same quant tables). This stays the hot-path FJPG
   container — the Huffman layer of real JPEG is inherently sequential
   and would dominate the memory-bandwidth-bound re-encode stage.
-* ``jpeg_baseline`` — REAL spec-level baseline JPEG/JFIF (since r5,
-  media/jpeg.py): ITU-T T.81 SOF0, Annex K quant + Huffman tables,
-  4:4:4 encode; decode accepts grayscale/YCbCr at 4:4:4/4:2:2/4:2:0,
-  restart markers, multi-segment DQT/DHT — i.e. the JPEGs external
-  tools actually write. Inbound real JPEGs (0xFFD8 SOI) decode
-  transparently; progressive/12-bit raise the honest
+* ``jpeg_baseline`` — REAL spec-level JPEG/JFIF (since r5,
+  media/jpeg.py): ITU-T T.81 SOF0 encode (Annex K tables, 4:4:4/
+  4:2:2/4:2:0); decode accepts baseline AND progressive (SOF2)
+  grayscale/YCbCr at any {1,2}x{1,2} sampling, restart markers,
+  multi-segment DQT/DHT — i.e. the JPEGs external tools actually
+  write, cross-validated against JDK ImageIO both directions
+  (tests/test_interop.py). Inbound real JPEGs (0xFFD8 SOI) decode
+  transparently; arithmetic/12-bit raise the honest
   NotImplementedError. This is the interchange boundary; the engine's
   internal quality ladder stays FJPG.
 

@@ -11,11 +11,13 @@ Scope (the honest boundary, same policy as the other codecs):
   Annex K quantization tables scaled by the libjpeg quality formula,
   Annex K Huffman tables, 4:4:4 or 4:2:0 chroma subsampling, optional
   restart intervals. Fully deterministic.
-* **Decode**: baseline + extended-sequential Huffman (SOF0/SOF1),
-  grayscale or YCbCr with any sampling factors in {1,2}×{1,2}
-  (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), multiple DQT/DHT segments, restart
-  markers, byte stuffing. Progressive (SOF2), arithmetic coding,
-  12-bit precision, and 16-bit quant tables raise NotImplementedError.
+* **Decode**: baseline + extended-sequential Huffman (SOF0/SOF1) AND
+  progressive (SOF2, Annex G: spectral selection, successive
+  approximation with DC/AC refinement and EOB runs, per-scan DHT
+  redefinition), grayscale or YCbCr with any sampling factors in
+  {1,2}×{1,2} (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), multiple DQT/DHT
+  segments, restart markers, byte stuffing. Arithmetic coding, 12-bit
+  precision, and 16-bit quant tables raise NotImplementedError.
 
 Performance shape: DCT/IDCT, quantization, color transform and
 up/down-sampling are numpy-batched over all blocks of an image; only the
@@ -356,7 +358,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95,
     """Baseline JFIF encode of an (h, w, 3) uint8 RGB image.
 
     ``subsampling``: "444" (no chroma subsampling — highest fidelity,
-    what the PSNR>=40dB tile gate wants) or "420" (2x2 chroma, the
+    what the PSNR>=40dB tile gate wants), "422" (2x1 horizontal chroma,
+    the broadcast/camera intermediate shape), or "420" (2x2 chroma, the
     shape most camera/web JPEGs use).
     """
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
@@ -365,8 +368,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95,
     h, w = px.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError(f"dims {w}x{h} out of JPEG range")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(
+            f"subsampling must be 444|422|420, got {subsampling!r}")
     qy, qc = quality_tables(quality)
     y, cb, cr = _rgb_to_ycbcr(px)
 
@@ -376,6 +380,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95,
         ph, pw = (h + 1) & ~1, (w + 1) & ~1
         cb = _pad_edge(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
         cr = _pad_edge(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+    elif subsampling == "422":
+        hy, vy = 2, 1
+        # horizontal-only 2x1 box-average
+        pw = (w + 1) & ~1
+        cb = _pad_edge(cb, h, pw).reshape(h, pw // 2, 2).mean(2)
+        cr = _pad_edge(cr, h, pw).reshape(h, pw // 2, 2).mean(2)
     else:
         hy = vy = 1
 
@@ -450,8 +460,13 @@ def _idct_batch(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline/extended-sequential JPEG to (h, w, 3) uint8 RGB.
-    Grayscale streams are replicated to 3 channels (codec pixel contract)."""
+    """Decode a baseline, extended-sequential, or PROGRESSIVE JPEG to
+    (h, w, 3) uint8 RGB. Grayscale streams are replicated to 3 channels
+    (codec pixel contract). Progressive (SOF2) streams accumulate
+    coefficients across scans — spectral selection, successive
+    approximation (DC/AC first + refinement, EOB runs), per-scan DHT
+    redefinition, and restart markers are all handled; validated against
+    JDK-ImageIO-encoded scan scripts (tests/test_interop.py)."""
     buf = bytes(data)
     if buf[:2] != bytes((0xFF, SOI)):
         raise ValueError("not a JPEG SOI")
@@ -460,6 +475,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     restart_interval = 0
     frame = None     # (h, w, comps) ; comps = [(cid, ch, cv, tq)]
+    progressive = False
+    prog = None      # accumulated-coefficient state for SOF2
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {buf[pos]:#x}")
@@ -496,7 +513,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("short DHT")
                 htabs[(cls, dest)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif m in (SOF0, SOF1):
+        elif m in (SOF0, SOF1, SOF2):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -510,8 +527,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise NotImplementedError(f"sampling {ch}x{cv}")
                 comps.append((cid, ch, cv, tq))
             frame = (h, w, comps)
-        elif m == SOF2:
-            raise NotImplementedError("progressive JPEG")
+            progressive = m == SOF2
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"SOF marker {m:#x} (non-baseline)")
         elif m == DRI:
@@ -519,9 +535,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif m == SOS:
             if frame is None:
                 raise ValueError("SOS before SOF")
-            return _decode_scan(buf, pos, payload, frame, qtabs, htabs,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(buf, pos, payload, frame, qtabs,
+                                    htabs, restart_interval)
+            if prog is None:
+                prog = _init_progressive(frame)
+            pos = _decode_scan_progressive(buf, pos, payload, frame, prog,
+                                           htabs, restart_interval)
         # APPn / COM / others: skip
+    if prog is not None:
+        return _finish_progressive(frame, prog, qtabs)
     raise ValueError("no SOS scan found")
 
 
@@ -593,6 +616,245 @@ def _decode_scan(buf: bytes, pos: int, payload: bytes, frame, qtabs, htabs,
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — coefficients accumulate across scans (T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+def _init_progressive(frame) -> dict:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    state = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+             "comps": {}}
+    for cid, ch, cv, tq in comps:
+        bw_, bh_ = mcux * ch, mcuy * cv
+        # non-interleaved scans iterate the component's OWN block grid
+        # (T.81 A.2.2), which is narrower than the MCU-padded storage
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        state["comps"][cid] = {
+            "zz": np.zeros((bh_ * bw_, 64), dtype=np.int32),
+            "bw": bw_, "ch": ch, "cv": cv, "tq": tq,
+            "bwn": -(-cw // 8), "bhn": -(-chh // 8),
+        }
+    return state
+
+
+def _read_huff(rd: _BitReader, tab) -> int:
+    sym, nb = tab
+    peek = rd.peek16()
+    n = int(nb[peek])
+    if n == 0:
+        raise ValueError("invalid Huffman code")
+    rd.skip(n)
+    return int(sym[peek])
+
+
+def _decode_scan_progressive(buf, pos, payload, frame, state, htabs,
+                             restart_interval) -> int:
+    """One progressive scan; returns the byte offset of the next marker."""
+    h, w, comps = frame
+    ns = payload[0]
+    scomps = []
+    for i in range(ns):
+        cs, tda = payload[1 + 2 * i:3 + 2 * i]
+        scomps.append((cs, tda >> 4, tda & 0xF))
+    ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    rd = _BitReader(buf, pos)
+
+    if ss == 0:                        # DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        tabs = {}
+        for cs, td, _ta in scomps:
+            if ah == 0 and (0, td) not in htabs:
+                raise ValueError("scan references undefined DC table")
+            tabs[cs] = htabs.get((0, td))
+        preds = {cs: 0 for cs, _, _ in scomps}
+        if ns > 1:                     # MCU-interleaved
+            order = [(cs, state["comps"][cs]) for cs, _, _ in scomps]
+            n_rst = 0
+            since = 0
+            for my in range(state["mcuy"]):
+                for mx in range(state["mcux"]):
+                    if restart_interval and since == restart_interval:
+                        rd.restart()
+                        n_rst += 1
+                        since = 0
+                        preds = {cs: 0 for cs in preds}
+                    for cs, c in order:
+                        for by in range(c["cv"]):
+                            for bx in range(c["ch"]):
+                                bidx = ((my * c["cv"] + by) * c["bw"]
+                                        + mx * c["ch"] + bx)
+                                preds[cs] = _dc_prog(
+                                    rd, c["zz"], bidx, tabs[cs],
+                                    preds[cs], ah, al)
+                    since += 1
+        else:
+            cs = scomps[0][0]
+            c = state["comps"][cs]
+            since = 0
+            for by in range(c["bhn"]):
+                for bx in range(c["bwn"]):
+                    if restart_interval and since == restart_interval:
+                        rd.restart()
+                        since = 0
+                        preds[cs] = 0
+                    preds[cs] = _dc_prog(rd, c["zz"],
+                                         by * c["bw"] + bx, tabs[cs],
+                                         preds[cs], ah, al)
+                    since += 1
+    else:                              # AC scan: single component only
+        if ns != 1:
+            raise ValueError("interleaved AC scan is illegal (G.1.1.1)")
+        if not (ss <= se <= 63):
+            raise ValueError(f"bad spectral band {ss}..{se}")
+        cs, _td, ta = scomps[0]
+        if (1, ta) not in htabs:
+            raise ValueError("scan references undefined AC table")
+        actab = htabs[(1, ta)]
+        c = state["comps"][cs]
+        zz = c["zz"]
+        eobrun = 0
+        since = 0
+        for by in range(c["bhn"]):
+            for bx in range(c["bwn"]):
+                if restart_interval and since == restart_interval:
+                    rd.restart()
+                    since = 0
+                    eobrun = 0
+                bidx = by * c["bw"] + bx
+                if ah == 0:
+                    eobrun = _ac_first(rd, actab, zz, bidx, ss, se, al,
+                                       eobrun)
+                else:
+                    eobrun = _ac_refine(rd, actab, zz, bidx, ss, se, al,
+                                        eobrun)
+                since += 1
+
+    # locate the next marker (skip trailing fill/RST bytes)
+    if rd.marker is not None and not (RST0 <= rd.marker <= RST0 + 7):
+        return rd.pos - 2
+    p = rd.pos
+    while p + 1 < len(buf):
+        if buf[p] == 0xFF and buf[p + 1] != 0x00 \
+                and not (RST0 <= buf[p + 1] <= RST0 + 7):
+            return p
+        p += 1
+    return len(buf)
+
+
+def _dc_prog(rd, zz, bidx, tab, pred, ah, al):
+    if ah == 0:                        # first pass: value << Al
+        s = _read_huff(rd, tab)
+        pred += _extend(rd.receive(s), s) if s else 0
+        zz[bidx, 0] = pred << al
+    else:                              # refinement: one bit
+        if rd.receive(1):
+            zz[bidx, 0] = int(zz[bidx, 0]) | (1 << al)
+    return pred
+
+
+def _ac_first(rd, actab, zz, bidx, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(rd, actab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:                # EOBn: run of 2^r (+ extension)
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.receive(r)
+                break
+            k += 16                    # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        zz[bidx, k] = _extend(rd.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(rd, actab, zz, bidx, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (T.81 G.1.2.3): correction
+    bits for already-nonzero coefficients, newly significant ones at
+    ±2^Al, EOB runs absorb corrections for the rest of the band."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(rd, actab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.receive(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude != 1")
+                newval = p1 if rd.receive(1) else -p1
+            while k <= se:
+                v = int(zz[bidx, k])
+                if v:
+                    if rd.receive(1) and not (v & p1):
+                        zz[bidx, k] = v + p1 if v >= 0 else v - p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[bidx, k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(zz[bidx, k])
+            if v and rd.receive(1) and not (v & p1):
+                zz[bidx, k] = v + p1 if v >= 0 else v - p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(frame, state, qtabs) -> np.ndarray:
+    h, w, comps = frame
+    hmax, vmax = state["hmax"], state["vmax"]
+    planes = []
+    for cid, ch, cv, tq in comps:
+        c = state["comps"][cid]
+        if tq not in qtabs:
+            raise ValueError("frame references undefined DQT table")
+        px = _idct_batch(c["zz"], qtabs[tq])
+        bh_, bw_ = c["zz"].shape[0] // c["bw"], c["bw"]
+        plane = (px.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh_ * 8, bw_ * 8))
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -3,12 +3,14 @@ typed metadata, processed in Arrow batches.
 
 Codec tiers (dispatch on container magic):
 
-* **REAL, dependency-free**: RIFF/WAVE PCM audio (:func:`decode_wav`)
-  and uncompressed RIFF/AVI video (:func:`decode_avi`) — full spec-level
-  chunk walkers, byte-exact round trips, no external library.
+* **REAL, dependency-free**: RIFF/WAVE PCM audio (:func:`decode_wav`),
+  FLAC lossless compressed audio (media/flac.py, RFC 9639), and
+  RIFF/AVI video (:func:`decode_avi`) in both uncompressed-DIB and
+  Motion-JPEG forms (one real baseline JPEG per frame, media/jpeg.py) —
+  full spec-level parsers, no external library.
 * **Deterministic fakes** (FAUD/FVID): procedural payloads for gates and
   benches.
-* **Stubbed**: COMPRESSED formats (mp3/flac · h264/vp9) raise a
+* **Stubbed**: LOSSY compressed formats (mp3/ogg · h264/vp9) raise a
   clearly-marked ``NotImplementedError`` — they need libsndfile/ffmpeg,
   absent from this container (``REAL_CODECS`` is the future hook).
   Swapping one in means replacing one decode function, not
@@ -52,8 +54,9 @@ MAGIC_AUD = b"FAUD"
 MAGIC_VID = b"FVID"
 
 REAL_CODECS = False   # flip when libsndfile/ffmpeg-class decoders exist
-                      # (WAV/RIFF PCM below is always real — parsed here,
-                      # dependency-free; the flag gates mp3/flac/ogg/video)
+                      # (WAV/RIFF PCM + FLAC + uncompressed AVI are
+                      # always real — parsed here, dependency-free; the
+                      # flag gates lossy mp3/ogg audio + h264/vp9 video)
 
 
 # -- REAL container: WAV (RIFF) PCM — dependency-free ------------------------
@@ -155,19 +158,23 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Container-dispatching audio decode: real RIFF/WAVE PCM decodes
-    via :func:`decode_wav` (no stub, no dependency); the deterministic
-    fake container (MAGIC_AUD) stays for gates; anything else (mp3/
-    flac/ogg) is the remaining REAL_CODECS stub."""
+    via :func:`decode_wav` and real FLAC via :func:`flac.decode_flac`
+    (both spec-level, no stub, no dependency); the deterministic fake
+    container (MAGIC_AUD) stays for gates; anything else (mp3/ogg) is
+    the remaining REAL_CODECS stub."""
     head = bytes(data[:4])
     if head == b"RIFF":
         return decode_wav(data)
+    if head == b"fLaC":
+        from libgeodesk_spark.media.flac import decode_flac
+        return decode_flac(data)
     if head == MAGIC_AUD:
         sr, n, _ch = struct.unpack("<IIH", bytes(data[4:14]))
         q = np.frombuffer(zlib.decompress(bytes(data[14:])), dtype=np.int16)
         return (q.astype(np.float32) / 32767.0)[:n], sr
     raise NotImplementedError(
-        "non-WAV compressed audio (mp3/flac/ogg) requires libsndfile/"
-        "ffmpeg — not in this container (REAL_CODECS gate)")
+        "lossy compressed audio (mp3/ogg) requires libsndfile/ffmpeg — "
+        "not in this container (REAL_CODECS gate)")
 
 
 def synth_video(seed: int, w: int, h: int, n_frames: int) -> np.ndarray:
@@ -183,10 +190,10 @@ def encode_video(frames: np.ndarray, fps: int = 8) -> bytes:
 
 
 def decode_video(data: bytes) -> tuple[np.ndarray, int]:
-    """Container-dispatching video decode: real uncompressed AVI (RIFF)
-    via :func:`decode_avi` — no external library; the deterministic
-    FVID fake stays for gates; compressed codecs (h264/vp9/...) remain
-    the ffmpeg stub."""
+    """Container-dispatching video decode: real AVI (RIFF) via
+    :func:`decode_avi` — uncompressed DIB or Motion-JPEG, no external
+    library; the deterministic FVID fake stays for gates; inter-frame
+    codecs (h264/vp9/...) remain the ffmpeg stub."""
     head = bytes(data[:4])
     if head == b"RIFF":
         return decode_avi(data)
@@ -252,22 +259,70 @@ def encode_avi(frames: np.ndarray, fps: int = 8) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+MJPG_FOURCC = 0x47504A4D          # 'MJPG' little-endian
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 8,
+                     quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 RGB → Motion-JPEG AVI bytes: the standard
+    RIFF/AVI container with one real baseline JPEG (media/jpeg.py) per
+    '00dc' chunk — a genuinely COMPRESSED video format that external
+    players decode, built entirely from this package's own spec-level
+    codecs. Per-frame JPEG encode is the lossy boundary; the container
+    round trip is exact."""
+    from libgeodesk_spark.media.jpeg import encode_jpeg
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    blobs = [encode_jpeg(f, quality=quality) for f in frames]
+    max_size = max(len(b) for b in blobs)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = int(1_000_000 / fps)
+    avih = struct.pack("<IIIIIIIIIIIIII", usec, max_size * fps, 0,
+                       0x10,              # AVIF_HASINDEX
+                       n, 0, 1, max_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, max_size,
+                                            0xFFFFFFFF, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, MJPG_FOURCC,
+                       max_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    idx, off = [], 4
+    for b in blobs:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
-    """Uncompressed AVI → ((n, h, w, 3) uint8 RGB, fps). Walks RIFF
-    chunks per spec (word alignment, unknown chunks skipped); supports
-    24-bit bottom-up DIB ('DIB '/raw vids streams, '00db' frames)."""
+    """AVI → ((n, h, w, 3) uint8 RGB, fps). Walks RIFF chunks per spec
+    (word alignment, unknown chunks skipped); supports 24-bit bottom-up
+    DIB ('DIB '/raw vids streams, '00db' frames) and Motion-JPEG
+    ('MJPG' biCompression, one baseline JPEG per '00dc' chunk)."""
     buf = bytes(data)
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
 
     w = h = None
     rate = scale = 1
+    comp = 0
     frames = []
     stream_no = 0        # strh document order defines stream numbering
     vid_no = None        # which NN the video's 'NNdb' chunks carry
 
     def walk(pos: int, end: int):
-        nonlocal w, h, rate, scale, stream_no, vid_no
+        nonlocal w, h, rate, scale, stream_no, vid_no, comp
         # strf has no type of its own: it belongs to the stream whose
         # strh preceded it WITHIN THE SAME strl LIST. Track that stream
         # type per walk frame, so an audio strl's WAVEFORMATEX is never
@@ -295,11 +350,13 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                 _sz, w, h = struct.unpack("<Iii", buf[body_at:body_at + 12])
                 bits = struct.unpack("<H", buf[body_at + 14:body_at + 16])[0]
                 comp = struct.unpack("<I", buf[body_at + 16:body_at + 20])[0]
-                if bits != 24 or comp != 0:
+                if comp == MJPG_FOURCC:
+                    pass               # Motion-JPEG: decoded per frame below
+                elif bits != 24 or comp != 0:
                     raise NotImplementedError(
-                        f"AVI stream {bits}-bit compression={comp} needs "
-                        f"ffmpeg — only uncompressed 24-bit DIB decodes "
-                        f"here")
+                        f"AVI stream {bits}-bit compression={comp:#x} needs "
+                        f"ffmpeg — only uncompressed 24-bit DIB and "
+                        f"Motion-JPEG decode here")
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
                 if vid_no is not None and int(cid[:2]) == vid_no:
                     frames.append(buf[body_at:body_at + size])
@@ -314,6 +371,18 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     # dimension must raise, not attempt a petabyte ndarray
     if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
         raise ValueError(f"AVI dimensions out of range: {w}x{h}")
+    fps = max(1, round(rate / max(scale, 1)))
+    if comp == MJPG_FOURCC:
+        from libgeodesk_spark.media.jpeg import decode_jpeg
+        out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+        for i, blob in enumerate(frames):
+            px = decode_jpeg(blob)
+            if px.shape != (h, w, 3):
+                raise ValueError(
+                    f"MJPEG frame {i} is {px.shape[1]}x{px.shape[0]}, "
+                    f"header says {w}x{h}")
+            out[i] = px
+        return out, fps
     stride = (w * 3) + ((-(w * 3)) % 4)
     if any(len(f) < stride * h for f in frames):
         raise ValueError("AVI frame chunk smaller than stride*height")
@@ -324,7 +393,6 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         if bottom_up:
             rows = rows[::-1]
         out[i] = rows[:, :, ::-1]                # BGR→RGB
-    fps = max(1, round(rate / max(scale, 1)))
     return out, fps
 
 

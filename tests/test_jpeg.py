@@ -313,14 +313,14 @@ class TestRoundTrip:
                 assert scan[j + 1] == 0x00 or 0xD0 <= scan[j + 1] <= 0xD9
             j += 1
 
-    @pytest.mark.parametrize("ss", ["444", "420"])
+    @pytest.mark.parametrize("ss", ["444", "422", "420"])
     def test_psnr_floor(self, ss):
         px = codec.synth_pixels(42, 64, 48)
         out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95, subsampling=ss))
         assert out.shape == px.shape
         # synthetic images carry independent RGB noise (chroma-heavy);
         # floors pinned from measurement, not aspiration
-        floor = 34.0 if ss == "444" else 23.0
+        floor = {"444": 34.0, "422": 25.0, "420": 23.0}[ss]
         assert codec.psnr(px, out) >= floor
 
     def test_q100_near_lossless(self):
@@ -341,7 +341,7 @@ class TestRoundTrip:
     def test_odd_dims(self):
         for (w, h) in [(1, 1), (7, 5), (33, 17), (16, 9)]:
             px = codec.synth_pixels(w * 100 + h, w, h)
-            for ss in ("444", "420"):
+            for ss in ("444", "422", "420"):
                 out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 92, subsampling=ss))
                 assert out.shape == (h, w, 3)
 
@@ -353,7 +353,7 @@ class TestRoundTrip:
 class TestIndependentCrossCheck:
     """Engine decoder vs the naive spec decoder: bit-identical pixels."""
 
-    @pytest.mark.parametrize("ss", ["444", "420"])
+    @pytest.mark.parametrize("ss", ["444", "422", "420"])
     def test_engine_decode_equals_naive(self, ss):
         px = codec.synth_pixels(77, 24, 17)
         blob = jpeg.encode_jpeg(px, quality=80, subsampling=ss)
@@ -375,11 +375,15 @@ class TestRestartAndErrors:
         rst = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 88, restart_interval=1))
         assert np.array_equal(plain, rst)   # same coefficients either way
 
-    def test_progressive_raises(self):
+    def test_sequential_stream_mislabeled_progressive_raises(self):
+        """A sequential scan body under an SOF2 header is malformed (its
+        SOS has Se=63 with Ss=0, illegal for a progressive DC scan) —
+        clean ValueError, not garbage. Real progressive coverage runs
+        against JDK-encoded scan scripts in test_interop.py."""
         blob = bytearray(jpeg.encode_jpeg(codec.synth_pixels(2, 16, 16), 90))
         i = blob.index(b"\xff\xc0")
         blob[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="DC scan"):
             jpeg.decode_jpeg(bytes(blob))
 
     def test_16bit_dqt_raises(self):

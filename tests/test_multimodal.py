@@ -276,3 +276,96 @@ class TestPlumbing:
         for blob, fmt in zip(small["bytes"], small.fmt):
             px, f = codec.decode(bytes(blob))
             assert f == fmt and px.shape == (8, 8, 3)
+
+
+class TestMjpegAvi:
+    """Motion-JPEG AVI: real compressed video from the package's own
+    baseline JPEG codec inside the standard RIFF/AVI container."""
+
+    def test_roundtrip_shape_fps_psnr(self):
+        v = mm.synth_video(5, 48, 32, 6)
+        blob = mm.encode_avi_mjpeg(v, fps=12, quality=95)
+        out, fps = mm.decode_avi(blob)
+        assert fps == 12 and out.shape == v.shape
+        # per-frame JPEG is the lossy boundary; synth frames carry
+        # independent RGB noise (floor pinned from measurement)
+        assert codec.psnr(v, out) >= 33.0
+
+    def test_compresses_vs_raw_dib(self):
+        v = mm.synth_video(6, 64, 48, 8)
+        assert len(mm.encode_avi_mjpeg(v, 8)) < 0.8 * len(mm.encode_avi(v, 8))
+
+    def test_frames_are_standalone_jpegs(self):
+        """Every '00dc' chunk must be a self-contained baseline JPEG —
+        the property external MJPEG players rely on."""
+        import struct
+        from libgeodesk_spark.media import jpeg
+        v = mm.synth_video(7, 24, 16, 3)
+        blob = mm.encode_avi_mjpeg(v, 8, quality=90)
+        # independent chunk walk: locate the movi LIST, then iterate its
+        # chunks (a naive find() would false-match '00dc' bytes inside
+        # JPEG entropy data or idx1 entries)
+        i = blob.find(b"movi") - 8
+        movi_size = struct.unpack("<I", blob[i + 4:i + 8])[0]
+        pos, end, found = i + 12, i + 8 + movi_size, 0
+        while pos + 8 <= end:
+            cid = blob[pos:pos + 4]
+            size = struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+            assert cid == b"00dc"
+            frame = blob[pos + 8:pos + 8 + size]
+            assert frame[:2] == b"\xff\xd8" and frame[-2:] == b"\xff\xd9"
+            px = jpeg.decode_jpeg(frame)
+            assert px.shape == (16, 24, 3)
+            found += 1
+            pos += 8 + size + (size & 1)
+        assert found == 3
+
+    def test_dispatch_and_dims_check(self):
+        v = mm.synth_video(8, 16, 16, 2)
+        blob = bytearray(mm.encode_avi_mjpeg(v, 8))
+        out, _ = mm.decode_video(bytes(blob))
+        assert out.shape == (2, 16, 16, 3)
+        # header/frame dimension mismatch must raise, not misreshape
+        import struct
+        i = bytes(blob).find(b"strf")
+        struct.pack_into("<i", blob, i + 8 + 4, 99)     # biWidth = 99
+        with pytest.raises(ValueError, match="header says"):
+            mm.decode_avi(bytes(blob))
+
+    def test_sample_frames_over_mjpeg(self, spark):
+        """The Spark frame-sampling path treats MJPEG AVIs like any
+        other container — dispatch inside the Arrow batch; sampled
+        frames match a driver-side decode of the same blob."""
+        vids = [mm.synth_video(i, 16, 16, 8) for i in range(2)]
+        rows = [(f"v{i}", mm.encode_avi_mjpeg(v, 8, quality=95),
+                 16, 16, 8, 8, "mjpeg") for i, v in enumerate(vids)]
+        got = mm.sample_frames(
+            spark.createDataFrame(rows, mm.VIDEO_SCHEMA), 4).toPandas()
+        assert len(got) == 2 * 2
+        decoded0, _ = mm.decode_avi(rows[0][1])
+        f0 = got[(got.video_id == "v0")].sort_values("frame_no")
+        px, fmt = codec.decode(bytes(f0.iloc[1].frame_png))
+        assert fmt == "png" and np.array_equal(px, decoded0[4])
+
+    def test_fuzz_mjpeg_container(self):
+        rng = np.random.default_rng(17)
+        blob = mm.encode_avi_mjpeg(mm.synth_video(1, 9, 6, 3), 8)
+        for cut in (0, 13, len(blob) // 2, len(blob) - 1):
+            try:
+                out, rate = mm.decode_avi(blob[:cut])
+                assert hasattr(out, "shape") and rate > 0
+            except (MemoryError, SystemError):
+                raise
+            except Exception:
+                pass
+        for _ in range(30):
+            b = bytearray(blob)
+            for _ in range(rng.integers(1, 6)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            try:
+                out, rate = mm.decode_avi(bytes(b))
+                assert hasattr(out, "shape") and rate > 0
+            except (MemoryError, SystemError):
+                raise
+            except Exception:
+                pass
