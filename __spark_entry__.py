@@ -1044,6 +1044,52 @@ def _q_ann_cosine(spark, sf_dir):
         cosine_topk(emb, ANN_QIDS, 10).select("qid", "vec_id", "rank"), 10)
 
 
+def _q_audio_codec_features(spark, sf_dir):
+    """Self-asserting audio gate (rows-only): one deterministic clip set
+    pushed through the Spark audio pipeline (mapInPandas over
+    multimodal.audio_features) THREE times — as RIFF/WAVE PCM16 bytes,
+    as real FLAC bytes (RFC 9639, media/flac.py), and as the FAUD fake
+    container — must yield IDENTICAL integer features, and those must
+    equal an independent numpy oracle computed straight from the
+    synthesized samples (all three codecs quantize onto the same int16
+    grid, so the containers are transparent). Any drift raises
+    AssertionError -> the driver records err. No DuckDB oracle: SQL
+    cannot decode audio containers."""
+    import numpy as np
+    from libgeodesk_spark.media import multimodal as mm
+    from libgeodesk_spark.media.flac import encode_flac
+    sr = 16000
+    clips = [(i, mm.synth_audio(i, 1200 + 37 * i)) for i in range(48)]
+
+    def df_for(enc, name):
+        rows = [(f"clip{i:03d}", bytearray(enc(a, sr)), sr, len(a), 1, name)
+                for i, a in clips]
+        return spark.createDataFrame(rows, mm.AUDIO_SCHEMA)
+
+    expected = []
+    for i, a in clips:
+        q = np.clip(np.rint(a * 32767), -32768, 32767) \
+            .astype(np.int16).astype(np.float32) / 32767.0
+        expected.append((f"clip{i:03d}",
+                         int(round(float(np.sqrt(np.mean(q * q))) * 1e6)),
+                         int(np.sum(np.abs(np.diff(np.signbit(q))))),
+                         int(len(q) * 1000 / sr)))
+
+    encoders = (("wav", mm.encode_wav), ("flac", encode_flac),
+                ("faud", mm.encode_audio))
+    for name, enc in encoders:
+        got = [tuple(r) for r in
+               mm.audio_features(df_for(enc, name)).orderBy("clip_id")
+               .toPandas().itertuples(index=False)]
+        if got != expected:
+            bad = next(i for i, (g, e) in enumerate(zip(got, expected))
+                       if g != e)
+            raise AssertionError(
+                f"audio gate: {name} features diverge from the numpy "
+                f"oracle at clip {bad}: {got[bad]} != {expected[bad]}")
+    return mm.audio_features(df_for(encoders[1][1], "flac"))
+
+
 def _q_goql(spark, sf_dir):
     from libgeodesk_spark.functions.goql import goql_filter
     return goql_filter(_docs(spark, sf_dir), GOQL_QUERY).select("doc_id")
@@ -1300,8 +1346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
-        "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking)
+        "audio_codec_features": _q_audio_codec_features,  # NEW r5:
+        # rows-only + numpy-oracle assert over wav/flac/faud codecs
         # --- beyond the 50-row window: r4-recorded multi-green --------
+        "ann_cosine_topk": _q_ann_cosine,    # rows-only (float ranking;
+        # r4-recorded, rotated out for the r5 window)
         "clean_corpus": _q_clean_corpus,
         "phash_near_dups": _q_phash_near_dups,
         "stream_window_counts": _q_stream_window_counts,
