@@ -207,6 +207,16 @@ def any_segment_crosses(px1, py1, px2, py2, edges) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def point_segment_sq_dist(x1, y1, x2, y2, px, py) -> np.ndarray:
+    """Same branch structure as the reference (Distance.cpp:8-37), but
+    the interior distance is computed in CROSS form, cross²/|d|², not
+    the reference's base − dot²/|d|²: the subtraction cancels
+    catastrophically once dot² exceeds 2^53 (an exactly-on-segment
+    point came back ~3e-8 — found by the hypothesis kernel suite), while
+    cross is exactly 0 whenever orientation() is 0, so `distance == 0
+    iff collinear-within-span` holds by construction. The SQL oracle
+    mirror (operators/distance.py:_seg_d2_sql) uses the identical
+    expression tree — both sides floor to int64, so they must agree to
+    the bit."""
     x1 = np.asarray(x1, dtype=np.float64)
     y1 = np.asarray(y1, dtype=np.float64)
     dx = np.asarray(x2, dtype=np.float64) - x1
@@ -218,11 +228,13 @@ def point_segment_sq_dist(x1, y1, x2, y2, px, py) -> np.ndarray:
     ry = dy - qy
     dot2 = rx * dx + ry * dy
     seg_len_sq = dx * dx + dy * dy
+    cross = qx * dy - qy * dx
     with np.errstate(divide="ignore", invalid="ignore"):
-        proj = np.where((dot1 > 0) & (dot2 > 0) & (seg_len_sq > 0),
-                        dot2 * dot2 / seg_len_sq, 0.0)
-    base = np.where(dot1 <= 0, qx * qx + qy * qy, rx * rx + ry * ry)
-    return np.maximum(base - proj, 0.0)
+        inner = np.where(seg_len_sq > 0,
+                         cross * cross / seg_len_sq, 0.0)
+    ends = np.where(dot1 <= 0, qx * qx + qy * qy, rx * rx + ry * ry)
+    return np.where((dot1 > 0) & (dot2 > 0) & (seg_len_sq > 0),
+                    inner, ends)
 
 
 def point_point_sq_dist(x1, y1, x2, y2) -> np.ndarray:

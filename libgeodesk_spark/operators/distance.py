@@ -63,19 +63,23 @@ def distance_to_zone(points: DataFrame, zone: PreparedZone,
 def _seg_d2_sql(px="p.x", py="p.y", ax="e.ax", ay="e.ay",
                 bx="e.bx", by="e.by") -> str:
     """Mirror of kernel.point_segment_sq_dist: squared distance from point
-    (px,py) to segment (ax,ay)-(bx,by) — exact expression-tree copy of
-    Distance.cpp:8-37, reusable for zone edges AND way segments."""
+    (px,py) to segment (ax,ay)-(bx,by) — same branch structure as
+    Distance.cpp:8-37 with the interior case in CROSS form (cross²/|d|²),
+    the identical expression tree as the numpy kernel: both sides floor
+    to int64, so the two formulations must agree to the bit (see the
+    kernel docstring for the 2^53 cancellation this avoids). Reusable
+    for zone edges AND way segments."""
     dx, dy = f"CAST({bx} - {ax} AS DOUBLE)", f"CAST({by} - {ay} AS DOUBLE)"
     qx, qy = f"CAST({px} - {ax} AS DOUBLE)", f"CAST({py} - {ay} AS DOUBLE)"
     dot1 = f"({qx} * {dx} + {qy} * {dy})"
     rx, ry = f"({dx} - {qx})", f"({dy} - {qy})"
     dot2 = f"({rx} * {dx} + {ry} * {dy})"
     seg = f"({dx} * {dx} + {dy} * {dy})"
-    proj = (f"CASE WHEN {dot1} > 0 AND {dot2} > 0 AND {seg} > 0 "
-            f"THEN {dot2} * {dot2} / {seg} ELSE 0.0 END")
-    base = (f"CASE WHEN {dot1} <= 0 THEN ({qx} * {qx} + {qy} * {qy}) "
+    cross = f"({qx} * {dy} - {qy} * {dx})"
+    ends = (f"CASE WHEN {dot1} <= 0 THEN ({qx} * {qx} + {qy} * {qy}) "
             f"ELSE ({rx} * {rx} + {ry} * {ry}) END")
-    return f"greatest({base} - {proj}, 0.0)"
+    return (f"CASE WHEN {dot1} > 0 AND {dot2} > 0 AND {seg} > 0 "
+            f"THEN {cross} * {cross} / {seg} ELSE {ends} END")
 
 
 def distance_to_zone_sql(rings: list[list[tuple[int, int]]],
