@@ -1082,11 +1082,14 @@ def _q_audio_codec_features(spark, sf_dir):
                mm.audio_features(df_for(enc, name)).orderBy("clip_id")
                .toPandas().itertuples(index=False)]
         if got != expected:
-            bad = next(i for i, (g, e) in enumerate(zip(got, expected))
-                       if g != e)
+            bad = next((i for i, (g, e) in enumerate(zip(got, expected))
+                        if g != e), min(len(got), len(expected)))
+            detail = (f"{got[bad]} != {expected[bad]}"
+                      if bad < min(len(got), len(expected))
+                      else f"row count {len(got)} != {len(expected)}")
             raise AssertionError(
                 f"audio gate: {name} features diverge from the numpy "
-                f"oracle at clip {bad}: {got[bad]} != {expected[bad]}")
+                f"oracle at clip {bad}: {detail}")
     return mm.audio_features(df_for(encoders[1][1], "flac"))
 
 

@@ -40,7 +40,10 @@ BANDWIDTH_PROBE_PIN = float(os.environ.get("SPARK_GRAFT_PROBE_PIN",
 #: 8-core probe to the 32-core pin would flag every local[8] run as
 #: contended). 8-core value from the hardware-ceiling control table
 #: (BENCH/BASELINE.md §controls: 15,962-16,523 img/s across rounds).
-BANDWIDTH_PROBE_PINS = {32: BANDWIDTH_PROBE_PIN, 8: 16200.0}
+BANDWIDTH_PROBE_PINS = {
+    32: BANDWIDTH_PROBE_PIN,
+    8: float(os.environ.get("SPARK_GRAFT_PROBE_PIN_8", "16200")),
+}
 PROBE_CONTENTION_BAND = 0.80
 
 

@@ -577,16 +577,13 @@ def decode_flac(data: bytes, verify_md5: bool = True,
         raise ValueError("FLAC missing STREAMINFO")
     sr, channels, bits, total, md5 = info
 
-    # vectorized-Rice context: the file's bit array plus the sorted
-    # positions of its 1-bits. Residual decoding walks terminators via
-    # an amortized-O(1) pointer over `ones` and gathers all remainder
-    # bits of a partition in k numpy passes — the decode-side mirror of
-    # the encoder's O(k) bit-plane assembly (see _read_residual).
-    if _scalar_rice:                   # reference path (tests run both)
-        ctx = None
-    else:
-        bitarr = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-        ctx = (bitarr, np.flatnonzero(bitarr).tolist())
+    # vectorized-Rice mode: residual partitions decode over BOUNDED bit
+    # windows unpacked on demand (never the whole file — a 25 MB track
+    # would otherwise materialize gigabytes of bit/index state), walking
+    # unary terminators via an amortized-O(1) pointer and gathering
+    # remainders in k numpy passes — the decode-side mirror of the
+    # encoder's O(k) bit-plane assembly (see _read_residual).
+    ctx = None if _scalar_rice else True   # reference path: tests run both
 
     out_chunks = []
     while pos < len(buf):
@@ -803,9 +800,8 @@ def _read_residual(rd: _BitReader, bs: int, order: int,
                     res.append((u >> 1) ^ -(u & 1))   # un-zigzag
         return res
 
-    import bisect
-    bitarr, ones = ctx
-    nbits_total = len(bitarr)
+    buf = rd.data
+    nbits_total = len(buf) * 8
     out = np.empty(bs - order, dtype=np.int64)
     w = 0
     for p in range(nparts):
@@ -820,7 +816,10 @@ def _read_residual(rd: _BitReader, bs: int, order: int,
                 end = pos + raw * count
                 if end > nbits_total:
                     raise ValueError("FLAC stream truncated mid-frame")
-                seg = bitarr[pos:end].reshape(count, raw)
+                b0, b1 = pos >> 3, -(-end // 8)
+                seg = np.unpackbits(
+                    np.frombuffer(buf, np.uint8, b1 - b0, b0)
+                )[pos - b0 * 8:][:raw * count].reshape(count, raw)
                 vals = np.zeros(count, dtype=np.int64)
                 for j in range(raw):
                     vals = (vals << 1) | seg[:, j]
@@ -830,36 +829,52 @@ def _read_residual(rd: _BitReader, bs: int, order: int,
             _resync(rd, pos)
         else:
             pos = rd.pos * 8 - rd.nbits
-            idx = bisect.bisect_left(ones, pos)
-            ts_l: list[int] = []
-            append = ts_l.append
-            p_ = pos
-            try:
-                for _ in range(count):
-                    t = ones[idx]
-                    while t < p_:             # a remainder 1-bit: skip
-                        idx += 1
-                        t = ones[idx]
-                    append(t)
-                    p_ = t + 1 + k
-                    idx += 1
-            except IndexError:
-                raise ValueError("FLAC stream truncated mid-frame") \
-                    from None
-            ts = np.array(ts_l, dtype=np.int64)
-            if p_ > nbits_total:
+            # unpack a bounded window starting at pos; grow it in the
+            # (rare) case a partition's unary runs outstrip the estimate
+            win_bits = max(4096, count * (k + 4) * 2)
+            if pos >= nbits_total:
                 raise ValueError("FLAC stream truncated mid-frame")
+            while True:
+                b0 = pos >> 3
+                b1 = min(len(buf), -(-(pos + win_bits) // 8))
+                bits = np.unpackbits(
+                    np.frombuffer(buf, np.uint8, b1 - b0, b0))
+                base = b0 * 8
+                ones = np.flatnonzero(bits).tolist()
+                ts_l: list[int] = []
+                append = ts_l.append
+                p_ = pos - base
+                idx = 0
+                n_ones = len(ones)
+                ok = True
+                try:
+                    for _ in range(count):
+                        t = ones[idx]
+                        while t < p_:         # a remainder 1-bit: skip
+                            idx += 1
+                            t = ones[idx]
+                        append(t)
+                        p_ = t + 1 + k
+                        idx += 1
+                except IndexError:
+                    ok = False
+                if ok and p_ <= len(bits):
+                    break
+                if b1 >= len(buf):
+                    raise ValueError("FLAC stream truncated mid-frame")
+                win_bits *= 4                  # grow and redo partition
+            ts = np.array(ts_l, dtype=np.int64)
             starts = np.empty(count, dtype=np.int64)
-            starts[0] = pos
+            starts[0] = pos - base
             starts[1:] = ts[:-1] + 1 + k
             u = (ts - starts) << k
             if k:
                 rem = np.zeros(count, dtype=np.int64)
                 for j in range(k):
-                    rem = (rem << 1) | bitarr[ts + 1 + j]
+                    rem = (rem << 1) | bits[ts + 1 + j]
                 u |= rem
             out[w:w + count] = (u >> 1) ^ -(u & 1)
-            _resync(rd, p_)
+            _resync(rd, base + p_)
         w += count
     return out.tolist()
 

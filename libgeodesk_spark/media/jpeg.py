@@ -577,22 +577,42 @@ def _decode_scan(buf: bytes, pos: int, payload: bytes, frame, qtabs, htabs,
         })
 
     rd = _BitReader(buf, pos)
-    n_rst = 0
-    mcu_since_rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_since_rst == restart_interval:
-                rd.restart()
-                n_rst += 1
-                mcu_since_rst = 0
-                for c in per_comp:
+    if ns == 1:
+        # a single-component scan is NON-interleaved (T.81 A.2.2): one
+        # data unit per MCU, blocks in the component's OWN raster grid
+        # (ceil(comp_dim/8)), NOT the MCU-padded grid — a 1-component
+        # frame may still declare sampling factors > 1
+        c = per_comp[0]
+        cw = -(-w * c["ch"] // hmax)
+        chh = -(-h * c["cv"] // vmax)
+        bwn, bhn = -(-cw // 8), -(-chh // 8)
+        since = 0
+        for by in range(bhn):
+            for bx in range(bwn):
+                if restart_interval and since == restart_interval:
+                    rd.restart()
+                    since = 0
                     c["pred"] = 0
-            for c in per_comp:
-                for by in range(c["cv"]):
-                    for bx in range(c["ch"]):
-                        bidx = (my * c["cv"] + by) * c["bw"] + mx * c["ch"] + bx
-                        _decode_block(rd, c, bidx)
-            mcu_since_rst += 1
+                _decode_block(rd, c, by * c["bw"] + bx)
+                since += 1
+    else:
+        n_rst = 0
+        mcu_since_rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_since_rst == restart_interval:
+                    rd.restart()
+                    n_rst += 1
+                    mcu_since_rst = 0
+                    for c in per_comp:
+                        c["pred"] = 0
+                for c in per_comp:
+                    for by in range(c["cv"]):
+                        for bx in range(c["ch"]):
+                            bidx = ((my * c["cv"] + by) * c["bw"]
+                                    + mx * c["ch"] + bx)
+                            _decode_block(rd, c, bidx)
+                mcu_since_rst += 1
 
     planes = []
     for c in per_comp:

@@ -240,9 +240,12 @@ def encode_avi(frames: np.ndarray, fps: int = 8) -> bytes:
     avih = struct.pack("<IIIIIIIIIIIIII", usec, frame_size * fps, 0,
                        0x10,              # AVIF_HASINDEX
                        n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+    # AVISTREAMHEADER is exactly 56 bytes: fccType/fccHandler + 8 DWORD
+    # fields (dwFlags..dwSampleSize, with wPriority/wLanguage packed in
+    # one) + rcFrame (4 WORDs) — review r5 found an extra DWORD here
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
                                             1, fps, 0, n, frame_size,
-                                            0xFFFFFFFF, 0, 0)
+                                            0xFFFFFFFF, 0)
             + struct.pack("<4H", 0, 0, w, h))
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                        frame_size, 0, 0, 0, 0)
@@ -287,9 +290,9 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 8,
     avih = struct.pack("<IIIIIIIIIIIIII", usec, max_size * fps, 0,
                        0x10,              # AVIF_HASINDEX
                        n, 0, 1, max_size, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
                                             1, fps, 0, n, max_size,
-                                            0xFFFFFFFF, 0, 0)
+                                            0xFFFFFFFF, 0)
             + struct.pack("<4H", 0, 0, w, h))
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, MJPG_FOURCC,
                        max_size, 0, 0, 0, 0)

@@ -429,3 +429,38 @@ class TestCodecDispatch:
         px = codec.synth_pixels(4, 32, 16)
         out, fmt = codec.decode(codec.encode(px, "jpeg"))
         assert fmt == "jpeg" and codec.psnr(px, out) >= 40.0
+
+
+class TestSingleComponentSequential:
+    def test_grayscale_with_2x2_sampling_factors(self):
+        """T.81 A.2.2: a scan with ns=1 is NON-interleaved regardless of
+        the declared sampling factors — blocks are ceil(w/8) x
+        ceil(h/8) in the component's own raster order, not the
+        MCU-padded grid (review r5: tools that keep luma sampling
+        factors when stripping color emit exactly this shape)."""
+        w = h = 24
+        g = np.repeat(codec.synth_pixels(9, w, h)[:, :, :1], 3, axis=2)
+        qy, _ = jpeg.quality_tables(90)
+        zz = jpeg._fdct_quant_zz(g[:, :, 0].astype(np.float64), qy)
+        dc = jpeg._assign_codes(jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS)
+        ac = jpeg._assign_codes(jpeg.AC_LUM_BITS, jpeg.AC_LUM_VALS)
+        wr = jpeg._BitWriter()
+        pred = 0
+        for bidx in range(zz.shape[0]):          # raster, 3x3 blocks
+            pred = jpeg._encode_block(wr, zz[bidx], pred, dc, ac)
+        wr.align()
+        dqt = jpeg._seg(jpeg.DQT, b"\x00" + bytes(qy[jpeg.ZIGZAG].tolist()))
+        sof = jpeg._seg(jpeg.SOF0, struct.pack(">BHHB", 8, h, w, 1)
+                        + bytes((1, 0x22, 0)))   # sampling 2x2!
+        dht = (jpeg._seg(jpeg.DHT, b"\x00" + bytes(jpeg.DC_LUM_BITS)
+                         + bytes(jpeg.DC_LUM_VALS))
+               + jpeg._seg(jpeg.DHT, b"\x10" + bytes(jpeg.AC_LUM_BITS)
+                           + bytes(jpeg.AC_LUM_VALS)))
+        sos = jpeg._seg(jpeg.SOS, bytes((1, 1, 0x00, 0, 63, 0)))
+        blob = (bytes((0xFF, jpeg.SOI)) + dqt + sof + dht + sos
+                + bytes(wr.out) + bytes((0xFF, jpeg.EOI)))
+        out = jpeg.decode_jpeg(blob)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out[:, :, 0], out[:, :, 1])
+        # q90 quantization loss on noisy content measures 36.7 dB
+        assert codec.psnr(g, out) >= 35.0

@@ -140,8 +140,8 @@ class TestRealWav:
         # audio stream header + WAVEFORMATEX (PCM 16-bit — fields that
         # read as nonsense bits/compression if parsed as a bitmap header)
         a_strh = (b"auds" + b"\x00" * 4
-                  + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000,
-                                0, 8000, 2, 0xFFFFFFFF, 2, 0)
+                  + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000,
+                                0, 8000, 2, 0xFFFFFFFF, 2)
                   + struct.pack("<4H", 0, 0, 0, 0))
         a_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
         audio_strl = lst(b"strl", chunk(b"strh", a_strh)
@@ -290,6 +290,17 @@ class TestMjpegAvi:
         # per-frame JPEG is the lossy boundary; synth frames carry
         # independent RGB noise (floor pinned from measurement)
         assert codec.psnr(v, out) >= 33.0
+
+    def test_strh_is_56_bytes(self):
+        """AVISTREAMHEADER is exactly 56 bytes in the spec; strict
+        parsers read rcFrame by offset (review r5: an extra DWORD had
+        shifted it)."""
+        import struct
+        for blob in (mm.encode_avi(mm.synth_video(1, 16, 8, 2), 8),
+                     mm.encode_avi_mjpeg(mm.synth_video(1, 16, 8, 2), 8)):
+            i = blob.find(b"strh")
+            size = struct.unpack("<I", blob[i + 4:i + 8])[0]
+            assert size == 56
 
     def test_compresses_vs_raw_dib(self):
         v = mm.synth_video(6, 64, 48, 8)

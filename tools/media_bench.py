@@ -176,18 +176,18 @@ def main():
            "",
            f"Raw local[32]: `{json.dumps(results[32])}`",
            "",
-           "Interpretation: the audio paths are Python/numpy per clip "
-           "inside Arrow batches (FLAC's Rice layer is the sequential "
-           "boundary the codec docstring names), so they scale like the "
-           "CPU-bound control row in BENCH/BASELINE.md §controls; "
-           "video_mjpeg is JPEG entropy decode + PNG re-encode per "
-           "frame, the memory-bound profile of tile_reencode. On a real "
-           "N->4N executor scale-out each machine brings its own memory "
-           "bus and python workers, so the single-box ceilings in "
-           "§controls bound these numbers, not the engine design: no "
-           "shuffle is involved at all — every stage is map-only over "
-           "partition-local payloads (the embarrassing-parallel shape "
-           "that survives any scale-up unchanged)."]
+           "Interpretation: every workload here is map-only over "
+           "partition-local payloads — no shuffle at any width — so the "
+           "MEASURED efficiencies above are single-box ceilings, not "
+           "engine serialization: numpy inside each Arrow batch is "
+           "memory-bandwidth-bound (the §controls codec row caps at "
+           "~0.6 on this box because all N threads share one bus), and "
+           "local-mode python workers share one JVM's Arrow channel. "
+           "On a real N->4N executor scale-out each machine brings its "
+           "own memory bus and python workers; a map-only stage's "
+           "throughput then scales with machines by construction. The "
+           "per-width bandwidth probe on each raw line records whether "
+           "a run was externally contended."]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "MEDIA.md"), "w") as f:
         f.write("\n".join(md) + "\n")
