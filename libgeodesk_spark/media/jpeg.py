@@ -16,8 +16,9 @@ Scope (the honest boundary, same policy as the other codecs):
   approximation with DC/AC refinement and EOB runs, per-scan DHT
   redefinition), grayscale or YCbCr with any sampling factors in
   {1,2}×{1,2} (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), multiple DQT/DHT
-  segments, restart markers, byte stuffing. Arithmetic coding, 12-bit
-  precision, and 16-bit quant tables raise NotImplementedError.
+  segments (8- and 16-bit quant tables), restart markers, byte
+  stuffing. Arithmetic coding and 12-bit precision raise
+  NotImplementedError.
 
 Performance shape: DCT/IDCT, quantization, color transform and
 up/down-sampling are numpy-batched over all blocks of an image; only the
@@ -494,14 +495,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                t = np.frombuffer(payload[p + 1:p + 65], dtype=np.uint8)
+                if pq:                # Pq=1: 16-bit big-endian entries
+                    t = np.frombuffer(payload[p + 1:p + 129],
+                                      dtype=">u2")
+                    step = 129
+                else:
+                    t = np.frombuffer(payload[p + 1:p + 65],
+                                      dtype=np.uint8)
+                    step = 65
                 if t.size != 64:
                     raise ValueError("short DQT")
                 # DQT payload is zigzag-ordered (B.2.4.1) -> row-major
                 qtabs[tq] = t.astype(np.int32)[INV_ZIGZAG]
-                p += 65
+                p += step
         elif m == DHT:
             p = 0
             while p < len(payload):
@@ -535,13 +541,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif m == SOS:
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if not progressive:
+            if not progressive and prog is None \
+                    and payload[0] == len(frame[2]):
+                # the common case: ONE full-component sequential scan
                 return _decode_scan(buf, pos, payload, frame, qtabs,
                                     htabs, restart_interval)
+            # progressive, or sequential split into per-component
+            # scans (ns < nc, legal per T.81 B.2.3) — accumulate
+            # coefficients across scans and assemble at EOI
             if prog is None:
                 prog = _init_progressive(frame)
-            pos = _decode_scan_progressive(buf, pos, payload, frame, prog,
-                                           htabs, restart_interval)
+            if progressive:
+                pos = _decode_scan_progressive(buf, pos, payload, frame,
+                                               prog, htabs,
+                                               restart_interval)
+            else:
+                pos = _decode_scan_seq_partial(buf, pos, payload, frame,
+                                               prog, htabs,
+                                               restart_interval)
         # APPn / COM / others: skip
     if prog is not None:
         return _finish_progressive(frame, prog, qtabs)
@@ -759,7 +776,11 @@ def _decode_scan_progressive(buf, pos, payload, frame, state, htabs,
                                         eobrun)
                 since += 1
 
-    # locate the next marker (skip trailing fill/RST bytes)
+    return _next_marker(buf, rd)
+
+
+def _next_marker(buf: bytes, rd: _BitReader) -> int:
+    """Byte offset of the next non-RST marker after a finished scan."""
     if rd.marker is not None and not (RST0 <= rd.marker <= RST0 + 7):
         return rd.pos - 2
     p = rd.pos
@@ -769,6 +790,60 @@ def _decode_scan_progressive(buf, pos, payload, frame, state, htabs,
             return p
         p += 1
     return len(buf)
+
+
+def _decode_scan_seq_partial(buf, pos, payload, frame, state, htabs,
+                             restart_interval) -> int:
+    """One SEQUENTIAL scan over a subset of the frame's components
+    (T.81 B.2.3 allows any split, e.g. Y then Cb then Cr): full-band
+    baseline block decode (DC diff + AC runs) into the accumulated
+    coefficient state; returns the next marker offset."""
+    h, w, comps = frame
+    ns = payload[0]
+    scomps = []
+    for i in range(ns):
+        cs, tda = payload[1 + 2 * i:3 + 2 * i]
+        scomps.append((cs, tda >> 4, tda & 0xF))
+    ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+    if ss != 0 or se != 63 or ahal != 0:
+        raise ValueError("spectral band in a sequential-frame scan")
+    locals_ = []
+    for cs, td, ta in scomps:
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError("scan references undefined DHT table")
+        c = state["comps"][cs]
+        locals_.append({"zz": c["zz"], "bw": c["bw"], "ch": c["ch"],
+                        "cv": c["cv"], "bwn": c["bwn"], "bhn": c["bhn"],
+                        "dc": htabs[(0, td)], "ac": htabs[(1, ta)],
+                        "pred": 0})
+    rd = _BitReader(buf, pos)
+    since = 0
+    if ns == 1:                        # non-interleaved raster
+        c = locals_[0]
+        for by in range(c["bhn"]):
+            for bx in range(c["bwn"]):
+                if restart_interval and since == restart_interval:
+                    rd.restart()
+                    since = 0
+                    c["pred"] = 0
+                _decode_block(rd, c, by * c["bw"] + bx)
+                since += 1
+    else:                              # MCU-interleaved subset
+        for my in range(state["mcuy"]):
+            for mx in range(state["mcux"]):
+                if restart_interval and since == restart_interval:
+                    rd.restart()
+                    since = 0
+                    for c in locals_:
+                        c["pred"] = 0
+                for c in locals_:
+                    for by in range(c["cv"]):
+                        for bx in range(c["ch"]):
+                            bidx = ((my * c["cv"] + by) * c["bw"]
+                                    + mx * c["ch"] + bx)
+                            _decode_block(rd, c, bidx)
+                since += 1
+    return _next_marker(buf, rd)
 
 
 def _dc_prog(rd, zz, bidx, tab, pred, ah, al):

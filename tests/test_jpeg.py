@@ -386,12 +386,21 @@ class TestRestartAndErrors:
         with pytest.raises(ValueError, match="DC scan"):
             jpeg.decode_jpeg(bytes(blob))
 
-    def test_16bit_dqt_raises(self):
-        blob = bytearray(jpeg.encode_jpeg(codec.synth_pixels(2, 16, 16), 90))
+    def test_16bit_dqt_decodes(self):
+        """Pq=1 DQT (16-bit big-endian entries, B.2.4.1) — rewrite the
+        luma table segment widened to 16 bits with identical values;
+        decode must be bit-identical to the 8-bit stream."""
+        blob = jpeg.encode_jpeg(codec.synth_pixels(2, 16, 16), 90)
         i = blob.index(b"\xff\xdb")
-        blob[i + 4] |= 0x10                 # Pq=1
-        with pytest.raises(NotImplementedError, match="16-bit"):
-            jpeg.decode_jpeg(bytes(blob))
+        seglen = struct.unpack(">H", blob[i + 2:i + 4])[0]
+        assert seglen == 67 and blob[i + 4] == 0x00     # Pq=0, Tq=0
+        vals = blob[i + 5:i + 5 + 64]
+        wide = b"".join(struct.pack(">H", v) for v in vals)
+        seg16 = (b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+                 + b"\x10" + wide)                      # Pq=1, Tq=0
+        patched = blob[:i] + seg16 + blob[i + 2 + seglen:]
+        assert np.array_equal(jpeg.decode_jpeg(patched),
+                              jpeg.decode_jpeg(blob))
 
     def test_truncation_raises(self):
         blob = jpeg.encode_jpeg(codec.synth_pixels(2, 32, 32), 90)
@@ -464,3 +473,52 @@ class TestSingleComponentSequential:
         assert np.array_equal(out[:, :, 0], out[:, :, 1])
         # q90 quantization loss on noisy content measures 36.7 dB
         assert codec.psnr(g, out) >= 35.0
+
+    def test_three_component_split_into_per_component_scans(self):
+        """T.81 B.2.3: a sequential frame may split its components
+        across scans (Y, then Cb, then Cr, each ns=1 non-interleaved).
+        Built from the same quantized coefficients as the engine's
+        interleaved encode at 32x32 (where the MCU-padded and
+        per-component block grids coincide), so the two streams must
+        decode BIT-IDENTICALLY."""
+        px = codec.synth_pixels(31, 32, 32)
+        q = 85
+        single = jpeg.encode_jpeg(px, q, subsampling="420")
+        qy, qc = jpeg.quality_tables(q)
+        y, cb, cr = jpeg._rgb_to_ycbcr(px)
+        cb = cb.reshape(16, 2, 16, 2).mean((1, 3))
+        cr = cr.reshape(16, 2, 16, 2).mean((1, 3))
+        zzs = [jpeg._fdct_quant_zz(y, qy),
+               jpeg._fdct_quant_zz(cb, qc),
+               jpeg._fdct_quant_zz(cr, qc)]
+        dc_l = jpeg._assign_codes(jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS)
+        ac_l = jpeg._assign_codes(jpeg.AC_LUM_BITS, jpeg.AC_LUM_VALS)
+        dc_c = jpeg._assign_codes(jpeg.DC_CHROM_BITS, jpeg.DC_CHROM_VALS)
+        ac_c = jpeg._assign_codes(jpeg.AC_CHROM_BITS, jpeg.AC_CHROM_VALS)
+        tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+
+        dqt = (jpeg._seg(jpeg.DQT, b"\x00" + bytes(qy[jpeg.ZIGZAG].tolist()))
+               + jpeg._seg(jpeg.DQT, b"\x01" + bytes(qc[jpeg.ZIGZAG].tolist())))
+        sof = jpeg._seg(jpeg.SOF0, struct.pack(">BHHB", 8, 32, 32, 3)
+                        + bytes((1, 0x22, 0)) + bytes((2, 0x11, 1))
+                        + bytes((3, 0x11, 1)))
+        dht = b"".join(
+            jpeg._seg(jpeg.DHT, bytes([cls << 4 | d]) + bytes(b) + bytes(v))
+            for cls, d, b, v in (
+                (0, 0, jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS),
+                (1, 0, jpeg.AC_LUM_BITS, jpeg.AC_LUM_VALS),
+                (0, 1, jpeg.DC_CHROM_BITS, jpeg.DC_CHROM_VALS),
+                (1, 1, jpeg.AC_CHROM_BITS, jpeg.AC_CHROM_VALS)))
+        blob = bytes((0xFF, jpeg.SOI)) + dqt + sof + dht
+        for ci, (cid, tsel) in enumerate([(1, 0x00), (2, 0x11), (3, 0x11)]):
+            blob += jpeg._seg(jpeg.SOS, bytes((1, cid, tsel, 0, 63, 0)))
+            wr = jpeg._BitWriter()
+            pred = 0
+            for bidx in range(zzs[ci].shape[0]):
+                pred = jpeg._encode_block(wr, zzs[ci][bidx], pred,
+                                          *tabs[ci])
+            wr.align()
+            blob += bytes(wr.out)
+        blob += bytes((0xFF, jpeg.EOI))
+        assert np.array_equal(jpeg.decode_jpeg(blob),
+                              jpeg.decode_jpeg(single))
