@@ -1295,7 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     refreshed r4 rows filling the window. The r4-recorded multi-green
     rows take the tail; pytest + check_oracle still cover them every
     round. After r5 every query's newest driver record is <= 1 round
-    old. In-window boundary (position 50) = ann_cosine_topk."""
+    old. In-window boundary (position 50) = audio_codec_features; first
+    out-of-window row = ann_cosine_topk (ADVICE r5: the registry count
+    puts the boundary there, matching the inline comments)."""
     return {
         # --- (a) new or implementation-changed this round -------------
         "ann_ivfpq_persisted": _q_ann_ivfpq_persisted,  # rows-only+asserts

@@ -62,6 +62,42 @@ JPEG_Q = 6  # quantization step -> MSE ~ (Q^2-1)/12 ~ 2.9 -> PSNR ~ 43.5 dB
 
 FORMATS = ("png", "jpeg", "bmp")
 
+#: C-kernel dimension bound (also the pure decoder's sanity guard):
+#: the engine's own tiles are <= 64 px; anything past 2^15 per axis is a
+#: corrupt header, not an image
+MAX_DIM = 1 << 15
+
+_FC = None
+_FC_CHECKED = False
+
+
+def _fc():
+    """The optional C kernel (media/_fastcodec.py) or None. Every C path
+    is a bit-identical mirror of the numpy code below with a pure
+    fallback, so callers never see a behavioral difference."""
+    global _FC, _FC_CHECKED
+    if not _FC_CHECKED:
+        try:
+            from libgeodesk_spark.media import _fastcodec
+            _FC = _fastcodec.load()
+        except Exception:
+            _FC = None
+        _FC_CHECKED = True
+    return _FC
+
+
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(key: str, size: int) -> np.ndarray:
+    """Per-process grow-on-demand uint8 scratch (heavy init once per
+    worker, guide §4.5)."""
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < size:
+        buf = np.empty(max(size, 65536), dtype=np.uint8)
+        _SCRATCH[key] = buf
+    return buf
+
 
 _GRADIENT_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
@@ -90,93 +126,136 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     throughput."""
     rng = np.random.default_rng(seed & 0xFFFFFFFF)
     acc = rng.integers(-32, 33, size=(h, w, 3), dtype=np.int16)
+    lib = _fc()
+    if lib is not None:
+        # fused add+clip+narrow in one C pass (identical int math)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        lib.synth_finish(acc.ctypes.data, _gradient(w, h).ctypes.data,
+                         out.ctypes.data, acc.size)
+        return out
     acc += _gradient(w, h)
     np.clip(acc, 0, 255, out=acc)
     return acc.astype(np.uint8)
 
 
 def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    # incremental CRC (crc32(payload, crc32(ctype))) avoids the
+    # ctype+payload concat copy the one-shot form pays per chunk
+    crc = zlib.crc32(payload, zlib.crc32(ctype)) & 0xFFFFFFFF
     return (struct.pack(">I", len(payload)) + ctype + payload
-            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+            + struct.pack(">I", crc))
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
-    """Spec-level PNG: RGB8 truecolor, filter 0 scanlines, one IDAT."""
+    """Spec-level PNG: RGB8 truecolor, filter 0 scanlines, one IDAT.
+
+    Copy-lean: the scanline buffer is np.empty (only the filter column is
+    zeroed) and feeds zlib.compress via the buffer protocol directly —
+    two fewer full-image passes than zeros+tobytes, same bytes out."""
     h, w = pixels.shape[:2]
     u8 = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(h, w * 3)
-    lines = np.zeros((h, 1 + w * 3), dtype=np.uint8)   # col 0 = filter 0
+    lines = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    lines[:, 0] = 0                                    # filter 0 per row
     lines[:, 1:] = u8
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
-            + _png_chunk(b"IEND", b""))
+    return b"".join((PNG_SIG, _png_chunk(b"IHDR", ihdr),
+                     _png_chunk(b"IDAT", zlib.compress(lines, 6)),
+                     _png_chunk(b"IEND", b"")))
 
 
 def _png_defilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filtering (spec §9): recon from the five
-    filter types. Sub is vectorized via per-channel cumsum; Average and
-    Paeth reconstruct left-to-right (the data dependency is inherent)."""
+    filter types. None/Sub/Up rows are fully vectorized; Average and
+    Paeth carry the spec's inherent left-pixel data dependency, so their
+    serial pass runs over plain Python lists with local-variable
+    arithmetic (~10x the old per-element numpy indexing; the remaining
+    cost is the spec's, not the loop's — measured in BENCH/MEDIA.md)."""
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(f"PNG data length {len(raw)} != {h}×(1+{stride})")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    if not arr[:, 0].any():
+    ftypes = arr[:, 0]
+    if not ftypes.any():
         # all-None fast path (what our encoder and the hot re-encode
         # loop produce): defilter is a pure slice copy, no row loop
         px = np.ascontiguousarray(arr[:, 1:]).reshape(h, w, bpp)
         return px[:, :, :3] if bpp == 4 else px
-    out = np.zeros((h, stride), dtype=np.int32)
-    zero = np.zeros(stride, dtype=np.int32)
+    if (ftypes > 4).any():
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"PNG filter type {bad} out of range")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior_list: list | None = None          # prev recon row as python ints
     for y in range(h):
-        ft = int(arr[y, 0])
-        row = arr[y, 1:].astype(np.int32)
-        prior = out[y - 1] if y else zero
+        ft = int(ftypes[y])
+        row = arr[y, 1:]
         if ft == 0:
-            rec = row
+            out[y] = row
+            rec_list = None
         elif ft == 1:    # Sub: + recon left — cumsum per channel lane
-            rec = np.cumsum(row.reshape(w, bpp), axis=0,
-                            dtype=np.int64).reshape(stride) & 0xFF
-        elif ft == 2:    # Up
-            rec = (row + prior) & 0xFF
-        elif ft == 3:    # Average
-            rec = row
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif ft == 4:    # Paeth
-            rec = row
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = int(prior[x])
-                c = int(out[y - 1, x - bpp]) if (y and x >= bpp) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pr) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ft} out of range")
-        out[y] = rec
-    px = out.astype(np.uint8).reshape(h, w, bpp)
+            out[y] = (np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.int64)
+                      .reshape(stride) & 0xFF)
+            rec_list = None
+        elif ft == 2:    # Up — uint8 addition wraps mod 256 natively
+            np.add(row, out[y - 1] if y else 0, out=out[y],
+                   dtype=np.uint8, casting="unsafe")
+            rec_list = None
+        else:            # Average (3) / Paeth (4): serial left dependency
+            rl = row.tolist()
+            pl = (prior_list if prior_list is not None
+                  else (out[y - 1].tolist() if y else [0] * stride))
+            if ft == 3:
+                for x in range(bpp):
+                    rl[x] = (rl[x] + (pl[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    rl[x] = (rl[x] + ((rl[x - bpp] + pl[x]) >> 1)) & 0xFF
+            else:
+                # first pixel: a = c = 0 -> predictor is b (also when b=0)
+                for x in range(bpp):
+                    rl[x] = (rl[x] + pl[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = rl[x - bpp]
+                    b = pl[x]
+                    c = pl[x - bpp]
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    rl[x] = (rl[x] + pr) & 0xFF
+            out[y] = rl
+            rec_list = rl
+        prior_list = rec_list
+    px = out.reshape(h, w, bpp)
     return px[:, :, :3] if bpp == 4 else px
 
 
 def decode_png(data: bytes) -> np.ndarray:
     """Parse a real PNG: chunk walk with CRC verification, IDAT concat,
     defilter. RGB/RGBA bit-depth-8 non-interlaced only (the honest
-    boundary); alpha is dropped to the (h, w, 3) pixel contract."""
-    if bytes(data[:8]) != PNG_SIG:
+    boundary); alpha is dropped to the (h, w, 3) pixel contract.
+
+    The walk runs over a memoryview (zero-copy payload slices,
+    incremental CRC) — the single-IDAT common case touches the
+    compressed bytes exactly once before inflate."""
+    mv = memoryview(data)
+    if bytes(mv[:8]) != PNG_SIG:
         raise ValueError("not a PNG signature")
     pos, w = 8, None
-    idat = []
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack(">I", bytes(data[pos:pos + 4]))
-        ctype = bytes(data[pos + 4:pos + 8])
-        payload = bytes(data[pos + 8:pos + 8 + ln])
-        if len(payload) != ln:
+    n = len(mv)
+    idat: list = []
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", mv, pos)
+        ctype = bytes(mv[pos + 4:pos + 8])
+        if pos + 12 + ln > n:
             raise ValueError(f"truncated {ctype!r} chunk")
-        (crc,) = struct.unpack(
-            ">I", bytes(data[pos + 8 + ln:pos + 12 + ln]))
-        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+        payload = mv[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", mv, pos + 8 + ln)
+        if crc != (zlib.crc32(payload, zlib.crc32(ctype)) & 0xFFFFFFFF):
             raise ValueError(f"bad CRC on {ctype!r} chunk")
         pos += 12 + ln
         if ctype == b"IHDR":
@@ -195,7 +274,9 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     bpp = 4 if color == 6 else 3
-    return _png_defilter(zlib.decompress(b"".join(idat)), w, h, bpp)
+    raw = zlib.decompress(idat[0] if len(idat) == 1
+                          else b"".join(idat))
+    return _png_defilter(raw, w, h, bpp)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -206,7 +287,9 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     buffer; no per-pixel Python)."""
     h, w = pixels.shape[:2]
     stride = (w * 3 + 3) & ~3
-    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows = np.empty((h, stride), dtype=np.uint8)
+    if stride > w * 3:
+        rows[:, w * 3:] = 0                   # zero only the pad columns
     rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
     img_size = h * stride
     header = (BMP_SIG
@@ -235,6 +318,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
             f"BMP bpp={bpp} compression={comp}: only uncompressed "
             f"24/32-bit BI_RGB decodes here (no palette/RLE/16-bit)")
     top_down, h = hh < 0, abs(hh)
+    # dimension guard (same policy as decode_avi: out-of-range dims raise
+    # instead of decoding to an empty/absurd array — ADVICE r5)
+    if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+        raise ValueError(f"BMP dimensions {w}x{hh} out of range")
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     if offset + h * stride > len(data):
@@ -248,9 +335,44 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+def _encode_fjpg_pure(u8: np.ndarray) -> bytes:
+    h, w = u8.shape[:2]
+    q = JPEG_Q
+    # uint8-native quantization: (255//6)*6+3 = 255, so no overflow
+    # and no clip — bit-identical to the int16+clip formulation but
+    # without the 16-bit round-trip; the multiply/add run in-place on
+    # the floor-div output and the contiguous array feeds
+    # zlib.compress via the buffer protocol (no tobytes copy)
+    quant = u8 // q
+    np.multiply(quant, q, out=quant)
+    np.add(quant, q // 2, out=quant)
+    return (MAGIC_JPG + struct.pack("<HHB", w, h, q)
+            + zlib.compress(quant, 6))
+
+
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     h, w = pixels.shape[:2]
     u8 = np.ascontiguousarray(pixels, dtype=np.uint8)
+    lib = _fc()
+    if (lib is not None and u8.ndim == 3 and u8.shape[2] == 3
+            and 0 < w <= MAX_DIM and 0 < h <= MAX_DIM
+            and fmt in ("png", "jpeg", "bmp")):
+        n = u8.size
+        out = _scratch("enc_out", n + (n >> 6) + 4096)
+        if fmt == "png":
+            tmp = _scratch("enc_tmp", n + h)
+            ln = lib.png_encode(u8.ctypes.data, w, h, tmp.ctypes.data,
+                                out.ctypes.data, out.size)
+        elif fmt == "jpeg":
+            tmp = _scratch("enc_tmp", n + h)
+            ln = lib.fjpg_encode(u8.ctypes.data, w, h, tmp.ctypes.data,
+                                 out.ctypes.data, out.size)
+        else:
+            ln = lib.bmp_encode(u8.ctypes.data, w, h,
+                                out.ctypes.data, out.size)
+        if ln > 0:
+            return out[:ln].tobytes()
+        # fall through to the authoritative pure path on any C refusal
     if fmt == "bmp":
         return encode_bmp(u8)
     if fmt == "png":
@@ -259,23 +381,41 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from libgeodesk_spark.media import jpeg as _jpeg
         return _jpeg.encode_jpeg(u8, quality=95)
     if fmt == "jpeg":
-        q = JPEG_Q
-        # uint8-native quantization: (255//6)*6+3 = 255, so no overflow
-        # and no clip — bit-identical to the int16+clip formulation but
-        # without the 16-bit round-trip (2 fewer full-image copies)
-        quant = (u8 // q) * q + (q // 2)
-        return (MAGIC_JPG + struct.pack("<HHB", w, h, q)
-                + zlib.compress(quant.tobytes(), 6))
+        return _encode_fjpg_pure(u8)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(data: bytes) -> tuple[np.ndarray, str]:
+    if not isinstance(data, bytes):
+        data = bytes(data)
+    lib = _fc()
     if bytes(data[:8]) == PNG_SIG:
+        if lib is not None:
+            meta = np.empty(3, dtype=np.uint32)
+            if lib.png_head(data, len(data), meta.ctypes.data) == 0:
+                w, h, color = int(meta[0]), int(meta[1]), int(meta[2])
+                if 0 < w <= MAX_DIM and 0 < h <= MAX_DIM:
+                    bpp = 4 if color == 6 else 3
+                    px = np.empty((h, w, 3), dtype=np.uint8)
+                    tmp = _scratch("dec_tmp", h * (w * bpp + 1))
+                    if lib.png_decode_f0(data, len(data), px.ctypes.data,
+                                         px.size, tmp.ctypes.data,
+                                         tmp.size) == 0:
+                        return px, "png"
         return decode_png(data), "png"
     if bytes(data[:2]) == b"\xff\xd8":   # real JPEG SOI
         from libgeodesk_spark.media import jpeg as _jpeg
         return _jpeg.decode_jpeg(data), "jpeg_baseline"
     if bytes(data[:2]) == BMP_SIG:
+        if lib is not None and len(data) >= 54:
+            w, hh = struct.unpack("<ii", data[18:26])
+            h = abs(hh)
+            if 0 < w <= MAX_DIM and 0 < h <= MAX_DIM:
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                meta = np.empty(2, dtype=np.int32)
+                if lib.bmp_decode(data, len(data), px.ctypes.data,
+                                  px.size, meta.ctypes.data) == 0:
+                    return px, "bmp"
         return decode_bmp(data), "bmp"
     magic = bytes(data[:4])
     if magic == MAGIC_BMP:          # legacy private container
@@ -288,6 +428,11 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), "png"
     if magic == MAGIC_JPG:
         w, h, _q = struct.unpack("<HHB", bytes(data[4:9]))
+        if lib is not None and w and h:
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            if lib.fjpg_decode(data, len(data), px.ctypes.data,
+                               px.size) == 0:
+                return px, "jpeg"
         raw = zlib.decompress(bytes(data[9:]))
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), "jpeg"
     raise ValueError(f"bad magic {magic!r}")

@@ -673,6 +673,12 @@ def _decode_frame(buf: bytes, pos: int, info, ctx=None):
         bits = _SAMPLE_SIZE_TABLE[ss_code]
     else:
         raise ValueError(f"reserved sample size code {ss_code:#b}")
+    if bits != bits0:
+        # decode_flac scales and MD5-packs at the STREAMINFO depth; a
+        # frame legally overriding it would decode at the wrong
+        # amplitude — reject like the channel-count check (ADVICE r5)
+        raise ValueError(
+            f"frame sample size {bits} != STREAMINFO {bits0}")
     header_end = rd.pos                # reader is byte-aligned here
     expect_crc8 = rd.read(8)
     if crc8(buf[frame_start:header_end]) != expect_crc8:

@@ -242,6 +242,12 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1            # stuffed 0xFF data byte
                 else:
+                    # 0xFF fill bytes may pad before a marker (T.81
+                    # B.1.1.2): consume the run; the first non-0xFF byte
+                    # is the marker code (ADVICE r5)
+                    while nxt == 0xFF and self.pos + 1 < len(self.data):
+                        self.pos += 1
+                        nxt = self.data[self.pos]
                     self.pos += 1
                     self.marker = nxt        # real marker ends the segment
                     continue

@@ -112,60 +112,204 @@ def tile_reencode_metrics(images: DataFrame, salt_hot: bool = False) -> DataFram
     return images.groupBy(*keys).applyInPandas(agg, schema=METRICS_SCHEMA)
 
 
+def _synth_group_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-(cell, salt) group body of :func:`synth_reencode_metrics` —
+    module-level so the loop is unit-testable and keeps warm module
+    state across reused Python workers.
+
+    r6 loop shape (same outputs, less per-image Python): fmt_for/size_for
+    are evaluated as vectorized numpy expressions (4:4:2 png/jpeg/bmp,
+    SIZES by pid//7, //11 — the exact sources/images.py formulas); the
+    per-fmt image order comes from an int64 argsort of pid, which equals
+    the image_id string order because image_id is 'img%012d' % pid in
+    this synthetic table (captions are likewise derived from pid)."""
+    from libgeodesk_spark.sources.images import SIZES, caption_for
+
+    size_lut = np.asarray(SIZES, dtype=np.int64)
+    rows = []
+    # numpy views once — .iloc per element costs microseconds/row,
+    # which is real money at 10^5 rows/partition
+    pids = pdf["pid"].to_numpy().astype("int64")
+    order = np.argsort(pids, kind="stable")
+    r10 = pids % 10
+    fmt_code = np.where(r10 < 4, 0, np.where(r10 < 8, 1, 2))
+    ws = size_lut[(pids // 7) % 3]
+    hs = size_lut[(pids // 11) % 3]
+    enc, dec, psnr = codec.encode, codec.decode, codec.psnr
+    synth = codec.synth_pixels
+    lib = codec._fc()
+    if lib is not None:
+        import ctypes
+        res = (ctypes.c_int64 * 3)()
+        ssd = (ctypes.c_uint64 * 1)()
+        nmax = 3 * int(size_lut.max()) ** 2
+        ctmp = codec._scratch("pipe_tmp", 3 * nmax + int(size_lut.max()) + 64)
+        buf1 = codec._scratch("pipe_b1", nmax + (nmax >> 6) + 4096)
+        buf2 = codec._scratch("pipe_b2", nmax + (nmax >> 6) + 4096)
+        bufcap = min(buf1.size, buf2.size)
+        pipeline = lib.reencode_pipeline
+    ordered_codes = fmt_code[order]
+    for code, fmt in ((2, "bmp"), (1, "jpeg"), (0, "png")):   # name order
+        sel = order[ordered_codes == code]
+        if not sel.size:
+            continue
+        sha = hashlib.sha256()
+        upd = sha.update
+        bytes_in = 0
+        bytes_out = 0
+        min_psnr = float("inf")
+        for pid, w, h in zip(pids[sel].tolist(), ws[sel].tolist(),
+                             hs[sel].tolist()):
+            if lib is not None:
+                # fused C leg: same encode->decode->re-encode->decode->
+                # compare work, only the metrics cross the boundary
+                px0 = synth(pid, w, h)
+                if pipeline(px0.ctypes.data, w, h, code, ctmp.ctypes.data,
+                            buf1.ctypes.data, buf2.ctypes.data, bufcap,
+                            res, ssd) == 0:
+                    if res[2]:
+                        p = float("inf")
+                    else:
+                        n3 = w * h * 3
+                        p = 10.0 * np.log10(255.0 * 255.0
+                                            / (ssd[0] / n3))
+                    if p < min_psnr:
+                        min_psnr = p
+                    bytes_in += res[0]
+                    bytes_out += res[1]
+                    upd(caption_for(pid).encode("utf-8"))
+                    upd(b"\x00")
+                    continue
+            blob = enc(synth(pid, w, h), fmt)
+            px, f = dec(blob)
+            out = enc(px, f)
+            px2, _ = dec(out)
+            p = psnr(px, px2)
+            if p < min_psnr:
+                min_psnr = p
+            bytes_in += len(blob)
+            bytes_out += len(out)
+            upd(caption_for(pid).encode("utf-8"))
+            upd(b"\x00")
+        rows.append({
+            "cell_id": int(pdf["cell_id"].iloc[0]),
+            "fmt": fmt,
+            "n_images": len(sel),
+            "bytes_in": bytes_in,
+            "bytes_out": bytes_out,
+            "min_psnr": 999.0 if min_psnr == float("inf") else min_psnr,
+            "caption_sha": sha.hexdigest(),
+        })
+    return pd.DataFrame(rows, columns=[f.name for f in METRICS_SCHEMA.fields])
+
+
+_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("cell_id", T.LongType(), False),
+    T.StructField("salt", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("n_images", T.LongType(), False),
+    T.StructField("bytes_in", T.LongType(), False),
+    T.StructField("bytes_out", T.LongType(), False),
+    T.StructField("min_psnr_raw", T.DoubleType(), False),  # inf allowed
+    T.StructField("pids", T.ArrayType(T.LongType(), False), False),
+])
+
+
+def _synth_partial_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sub-group codec pass of :func:`synth_reencode_metrics`: the full
+    per-image synth→encode→decode→re-encode→decode→compare work for one
+    (cell, salt, subkey) slice; emits associative partials plus the
+    slice's pid list (captions derive from pid, so the tiny merge stage
+    can rebuild the exact caption_sha without touching any payload)."""
+    full = _synth_group_metrics(pdf)
+    pids = pdf["pid"].to_numpy().astype("int64")
+    r10 = pids % 10
+    out = full.rename(columns={"min_psnr": "min_psnr_raw"})
+    out.insert(1, "salt", int(pdf["salt"].iloc[0]))
+    # undo the inf->999 mapping: merge needs the raw minimum
+    out["min_psnr_raw"] = out["min_psnr_raw"].map(
+        lambda v: float("inf") if v == 999.0 else v)
+    by_fmt = {"png": pids[r10 < 4], "jpeg": pids[(r10 >= 4) & (r10 < 8)],
+              "bmp": pids[r10 >= 8]}
+    out.pop("caption_sha")
+    out["pids"] = [by_fmt[f].tolist() for f in out["fmt"]]
+    return out[[f.name for f in _PARTIAL_SCHEMA.fields]]
+
+
+def _synth_merge_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge stage of :func:`synth_reencode_metrics`: sums/mins are
+    associative; caption_sha is rebuilt from the union of pid lists in
+    image_id order ('img%012d' % pid ordering == pid order), exactly the
+    digest the single-pass formulation produces. No codec work here."""
+    from libgeodesk_spark.sources.images import caption_for
+    rows = []
+    cell = int(pdf["cell_id"].iloc[0])
+    for fmt, grp in pdf.groupby("fmt", sort=True):
+        pids: list[int] = []
+        for lst in grp["pids"]:
+            pids.extend(lst)
+        pids.sort()
+        sha = hashlib.sha256()
+        upd = sha.update
+        for pid in pids:
+            upd(caption_for(pid).encode("utf-8"))
+            upd(b"\x00")
+        mn = float(grp["min_psnr_raw"].min())
+        rows.append({
+            "cell_id": cell,
+            "fmt": fmt,
+            "n_images": int(grp["n_images"].sum()),
+            "bytes_in": int(grp["bytes_in"].sum()),
+            "bytes_out": int(grp["bytes_out"].sum()),
+            "min_psnr": 999.0 if mn == float("inf") else mn,
+            "caption_sha": sha.hexdigest(),
+        })
+    return pd.DataFrame(rows, columns=[f.name for f in METRICS_SCHEMA.fields])
+
+
+#: sub-splits per (cell, salt) group in the codec stage: bounds the
+#: largest single task at hot_cell/(N_SALTS * SPLIT) of the table no
+#: matter the scale factor — at sf1 the 57k-image hot groups were 14-21 s
+#: straggler tasks that started late and stretched the stage wall ~25%
+SYNTH_SPLIT = 8
+
+
 def synth_reencode_metrics(points: DataFrame) -> DataFrame:
     """Fused bench/pipeline variant: shuffle only skinny point rows by
     (cell_id, salt), then synthesize payloads AND compute re-encode
     metrics inside one Arrow stage — for workloads whose payloads are
     generated (or fetched) per tile, this avoids shuffling bytes at all.
-    Semantics identical to attach_payload → tile_reencode_metrics(salt_hot)."""
-    from libgeodesk_spark.sources.images import caption_for, fmt_for, size_for
+    Semantics identical to attach_payload → tile_reencode_metrics(salt_hot).
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        # numpy views once — .iloc per element costs microseconds/row,
-        # which is real money at 10^5 rows/partition
-        pids = pdf["pid"].to_numpy().astype("int64")
-        fmts = [fmt_for(int(p)) for p in pids]
-        order = np.argsort(pdf["image_id"].to_numpy())
-        by_fmt: dict[str, list[int]] = {}
-        for pos in order:
-            by_fmt.setdefault(fmts[pos], []).append(pos)
-        for fmt in sorted(by_fmt):
-            sha = hashlib.sha256()
-            bytes_in = 0
-            bytes_out = 0
-            min_psnr = float("inf")
-            for pos in by_fmt[fmt]:
-                pid = int(pids[pos])
-                w, h = size_for(pid)
-                blob = codec.encode(codec.synth_pixels(pid, w, h), fmt)
-                px, f = codec.decode(blob)
-                out = codec.encode(px, f)
-                px2, _ = codec.decode(out)
-                min_psnr = min(min_psnr, codec.psnr(px, px2))
-                bytes_in += len(blob)
-                bytes_out += len(out)
-                sha.update(caption_for(pid).encode("utf-8"))
-                sha.update(b"\x00")
-            rows.append({
-                "cell_id": int(pdf["cell_id"].iloc[0]),
-                "fmt": fmt,
-                "n_images": len(by_fmt[fmt]),
-                "bytes_in": bytes_in,
-                "bytes_out": bytes_out,
-                "min_psnr": 999.0 if min_psnr == float("inf") else min_psnr,
-                "caption_sha": sha.hexdigest(),
-            })
-        return pd.DataFrame(rows, columns=[f.name for f in METRICS_SCHEMA.fields])
-
+    Two-level aggregation (guide §2.5, aggregation salting): the codec
+    work runs per (cell, salt, pid>>4 % SYNTH_SPLIT) sub-slice so no
+    single task holds a whole hot-cell salt group; a merge stage
+    re-aggregates the associative partials and rebuilds caption_sha from
+    pids — output rows byte-identical to the single-pass formulation
+    (tests/test_r06_opt.py asserts it)."""
     # explicit hash repartition on the group keys: the shuffle input is
     # skinny (tens of MB), so AQE would coalesce to ~2 partitions and
     # serialize the per-group codec work; a fixed-width HashPartitioning on
     # the same keys satisfies applyInPandas' distribution requirement with
     # no extra exchange and is exempt from AQE coalescing.
-    n = points.sparkSession.sparkContext.defaultParallelism * 2
-    return points.repartition(n, "cell_id", "salt") \
-        .groupBy("cell_id", "salt").applyInPandas(agg, schema=METRICS_SCHEMA)
+    # 16 tasks/core: with the sub-split bounding every group at a few
+    # seconds, fine partitions cost nothing and cut the last-wave tail
+    # from ~p90-task-size to ~avg-task-size (measured 66s -> 56s at sf1;
+    # task p50 was 12.5s / max 22s in 4 waves at 4 tasks/core)
+    n = points.sparkSession.sparkContext.defaultParallelism * 16
+    sub = F.shiftright(F.col("pid"), 4) % SYNTH_SPLIT  # independent of salt
+    # project to the three columns the codec stage reads BEFORE the
+    # exchange (guide §2.3): x/y/phash/image_id would otherwise be
+    # shuffled and arrow->pandas-materialized (millions of python
+    # strings) just to be dropped
+    partials = (points.select("pid", "cell_id", "salt")
+                .withColumn("_sub", sub)
+                .repartition(n, "cell_id", "salt", "_sub")
+                .groupBy("cell_id", "salt", "_sub")
+                .applyInPandas(_synth_partial_metrics,
+                               schema=_PARTIAL_SCHEMA))
+    return partials.groupBy("cell_id", "salt") \
+        .applyInPandas(_synth_merge_metrics, schema=METRICS_SCHEMA)
 
 
 def mosaic_tiles(images: DataFrame, tile_px: int = 64,
