@@ -848,13 +848,31 @@ EMB_NEAR_THRESH = None  # set below via module constant
 
 def _q_emb_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs: exact quantized-L2 self-join below a
-    threshold (the embedding-cosine near-dup analog, exact for the gate)."""
-    from libgeodesk_spark.operators.ann import quantized_sq_l2
+    threshold (the embedding-cosine near-dup analog, exact for the gate).
+
+    r6 shape: pre-quantize once per ROW (not per pair) and prune pairs
+    with an exact first-dimension band — d2 <= D2 implies
+    |q0_a - q0_b| <= isqrt(D2), so bucketing q0 by isqrt(D2)-wide bins
+    and equi-joining on adjacent bins keeps every qualifying pair while
+    replacing the all-pairs BroadcastNestedLoopJoin with a
+    BroadcastHashJoin. Same rows, same d2 values (oracle-checked)."""
+    import math
+
+    from libgeodesk_spark.operators.ann import _quantized, quantized_sq_l2_pre
+    r = int(math.isqrt(EMB_NEAR_D2))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    d2 = quantized_sq_l2(F.col("ea"), F.col("eb")).alias("d2")
+    base = emb.select(
+        F.col("vec_id"), _quantized(F.col("embedding")).alias("q"),
+        F.floor(F.element_at(_quantized(F.col("embedding")), 1)
+                / F.lit(r)).cast("long").alias("bk"))
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"),
+                    F.col("bk"))
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"),
+        F.explode(F.array(F.col("bk") - 1, F.col("bk"),
+                          F.col("bk") + 1)).alias("bk"))
+    pairs = a.join(F.broadcast(b), ["bk"]).filter(F.col("id_a") < F.col("id_b"))
+    d2 = quantized_sq_l2_pre(F.col("qa"), F.col("qb")).alias("d2")
     return pairs.select("id_a", "id_b", d2).filter(F.col("d2") <= EMB_NEAR_D2)
 
 

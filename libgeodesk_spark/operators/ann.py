@@ -29,9 +29,17 @@ def _quantized(col) -> "F.Column":
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
 
 
-def quantized_sq_l2(a, b) -> "F.Column":
-    d = F.zip_with(_quantized(a), _quantized(b), lambda x, y: (x - y) * (x - y))
+def quantized_sq_l2_pre(qa, qb) -> "F.Column":
+    """Quantized squared L2 over ALREADY-quantized long arrays. Pair
+    loops should quantize each side once per ROW and use this (r6:
+    ``quantized_sq_l2`` inside a join re-ran the per-element round/cast
+    once per PAIR — O(pairs·dim) redundant work)."""
+    d = F.zip_with(qa, qb, lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def quantized_sq_l2(a, b) -> "F.Column":
+    return quantized_sq_l2_pre(_quantized(a), _quantized(b))
 
 
 def brute_topk(emb: DataFrame, query_ids: list[int], k: int,
@@ -39,9 +47,11 @@ def brute_topk(emb: DataFrame, query_ids: list[int], k: int,
     """(qid, vec_id, d2, rank) — exact top-k by quantized L2; self excluded;
     ties broken by vec_id."""
     q = emb.filter(F.col(id_col).isin(query_ids)) \
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("qid"))
-    d2 = quantized_sq_l2(F.col("qe"), F.col(vec_col)).alias("d2")
+        .select(F.col(id_col).alias("qid"),
+                _quantized(F.col(vec_col)).alias("qe"))
+    base = emb.select(id_col, _quantized(F.col(vec_col)).alias("_qv"))
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("qid"))
+    d2 = quantized_sq_l2_pre(F.col("qe"), F.col("_qv")).alias("d2")
     w = Window.partitionBy("qid").orderBy("d2", id_col)
     return (pairs.select("qid", F.col(id_col).alias("vec_id"), d2)
             .withColumn("rank", F.row_number().over(w))

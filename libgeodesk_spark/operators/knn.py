@@ -104,8 +104,11 @@ def knn(points: DataFrame, qx: int, qy: int, k: int,
     best = None
     converged = False
     r = 0
+    done_r = -1
     while r <= max_rings:
-        seen_cells.extend(_ring_cells(qcol, qrow, r, zoom))
+        for rr in range(done_r + 1, r + 1):
+            seen_cells.extend(_ring_cells(qcol, qrow, rr, zoom))
+        done_r = r
         cand = points.filter(F.col(cell_col).isin(seen_cells)) \
             .select(id_col, x_col, y_col, sq) \
             .orderBy("sq_dist", id_col).limit(k)
@@ -119,7 +122,12 @@ def knn(points: DataFrame, qx: int, qy: int, k: int,
         if len(best) >= k and best[k - 1]["sq_dist"] < gap * gap:
             converged = True
             break
-        r += 1
+        # geometric expansion: each Spark round is dominated by fixed
+        # job overhead, not by the cell-pruned scan, so grow the covered
+        # box by 2x per round instead of one ring at a time — the
+        # convergence test above is radius-exact either way, candidates
+        # only ever grow, and top-k over a superset is the same top-k
+        r = min(max(2 * r, 1), max_rings) if r < max_rings else max_rings + 1
     if not converged:
         raise RuntimeError(
             f"knn did not converge within max_rings={max_rings}; "
@@ -302,6 +310,14 @@ def max_meters_from(points: DataFrame, meters: float, qx: int, qy: int,
 #: window seeing ≤ 9·KNN_W1_SALT·k survivors instead of ≤ 9·k
 KNN_W1_SALT = 16
 
+#: the salted pre-top-k only pays for itself when some grid cell could
+#: feed one (query, cell) window partition a huge single-task sort;
+#: below this many points in the densest fine-density cell the salt is
+#: pure overhead (measured +5% on the megacity fixture where it IS
+#: needed — VERDICT r5 #2 asked for the gate) and knn_join skips it.
+#: 32k rows sort in ~30 ms — harmless unsalted.
+KNN_SALT_MIN_CELL = 32_768
+
 
 def knn_join(points: DataFrame, k: int, id_col: str = "pid",
              x_col: str = "x", y_col: str = "y",
@@ -427,6 +443,14 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
                        F.lit(32)).alias(f"lg{cshift}"))
     coarse_shift = 32 - mercator.MAX_ZOOM            # zoom-12 cells
     fine_shift = shift0 + 6                          # ~g0*64 cells
+    # salt gate (VERDICT r5 #2): one tiny aggregate over the cached
+    # candidate side decides whether any cell is dense enough for the
+    # salted pre-top-k to matter; unskewed corpora skip the extra window
+    max_fine_cell = b_base.groupBy(
+        F.shiftright(F.col("bx"), fine_shift),
+        F.shiftright(F.col("by"), fine_shift)).count() \
+        .agg(F.max("count")).first()[0]
+    salt_on = bool(max_fine_cell and max_fine_cell >= KNN_SALT_MIN_CELL)
     fine = _density_rstart(fine_shift)
     coarse = _density_rstart(coarse_shift).select(
         "id_a", f"lg{coarse_shift}")
@@ -498,12 +522,15 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
         # 30%-one-cell fixture in BENCH/KNNJOIN.md). For unskewed cells
         # (≤ k candidates per salt) the salt adds zero survivor rows —
         # only the heavy partitions split.
-        w1 = Window.partitionBy("id_a", "hx", "hy", "_ks") \
-            .orderBy("d2", "id_b")
-        cand = cand.withColumn(
-            "_ks", F.pmod(F.xxhash64("id_b"), F.lit(KNN_W1_SALT))) \
-            .withColumn("r1", F.row_number().over(w1)) \
-            .filter(F.col("r1") <= kk).drop("r1", "hx", "hy", "_ks")
+        if salt_on:
+            w1 = Window.partitionBy("id_a", "hx", "hy", "_ks") \
+                .orderBy("d2", "id_b")
+            cand = cand.withColumn(
+                "_ks", F.pmod(F.xxhash64("id_b"), F.lit(KNN_W1_SALT))) \
+                .withColumn("r1", F.row_number().over(w1)) \
+                .filter(F.col("r1") <= kk).drop("r1", "hx", "hy", "_ks")
+        else:
+            cand = cand.drop("hx", "hy")
         w = Window.partitionBy("id_a").orderBy("d2", "id_b")
         # ONE materialization per round: stats, the resolved slice, and
         # the anti-join all reuse the checkpointed top-k instead of each

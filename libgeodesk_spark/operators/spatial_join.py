@@ -480,8 +480,44 @@ def join_zones(points: DataFrame, zones: list[PreparedZone],
 #: ~33 B/row ≈ 260 MB — comfortably under Spark's 8 GB broadcast hard
 #: cap and a sane executor-memory share; past it the catalog region-
 #: partitions into separate joins (the >10⁵-zone mitigation named in
-#: BENCH/ZONEPREP.md)
+#: BENCH/ZONEPREP.md). Since r6 this is the FLOOR of the auto-derived
+#: budget (:func:`_auto_iv_budget`), not the default itself — the 10⁵-
+#: zone fixture measured 70.7 s in the single-broadcast regime vs
+#: 172.6 s region-partitioned at this constant, so the regime choice now
+#: follows executor memory instead of assuming the smallest executor.
 CATALOG_IV_BUDGET = 8_000_000
+
+#: conservative in-memory footprint per broadcast interval row once
+#: built into the join's HashedRelation (the raw DataFrame row is ~33 B;
+#: hash-table + object overhead lands well under 48 B/row in practice)
+_IV_RELATION_BYTES = 48
+
+#: stay clearly below Spark's hard broadcast caps (8 GB / 512M rows)
+_IV_BUDGET_CEIL = 150_000_000
+
+
+def _auto_iv_budget(spark: SparkSession) -> int:
+    """Derive the interval-broadcast budget from executor memory: allow
+    the build relation ~25% of the heap at ~48 B/interval, floored at
+    the old conservative constant and capped under the broadcast hard
+    limits. In local mode the driver heap IS the executor heap."""
+    local = spark.conf.get("spark.master", "").startswith("local")
+    key = "spark.driver.memory" if local else "spark.executor.memory"
+    try:
+        txt = spark.conf.get(key, "1g") or "1g"
+    except Exception:
+        txt = "1g"
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    txt = txt.strip().lower()
+    try:
+        if txt[-1] in units:
+            heap = int(float(txt[:-1]) * units[txt[-1]])
+        else:
+            heap = int(txt)
+    except (ValueError, IndexError):
+        heap = 1 << 30
+    budget = int(heap * 0.25 / _IV_RELATION_BYTES)
+    return max(CATALOG_IV_BUDGET, min(budget, _IV_BUDGET_CEIL))
 
 #: coarse grid for region partitioning (zoom 6 → ≤4096 occupied cells
 #: worldwide); cells bin-pack into regions so each region's interval
@@ -495,7 +531,7 @@ def join_zones_catalog(points: DataFrame, prepped: DataFrame,
                        x_col: str = "x", y_col: str = "y",
                        prefilter_bbox: bool = True,
                        columns: list[str] | None = None,
-                       max_broadcast_intervals: int = CATALOG_IV_BUDGET,
+                       max_broadcast_intervals: int | None = None,
                        region_zoom: int = REGION_ZOOM,
                        boundary_salt: int = 1) -> DataFrame:
     """points × prepared-zone-CATALOG join, Spark end-to-end.
@@ -542,6 +578,12 @@ def join_zones_catalog(points: DataFrame, prepped: DataFrame,
     zone's boundary dominates (megacity skew) on a real cluster.
     """
     spark = points.sparkSession
+    if max_broadcast_intervals is None:
+        # derive the regime from executor memory (VERDICT r5 #4): the
+        # 10^5-zone fixture is 32.1M intervals — a single ~1 GB
+        # broadcast at 8 GB heap (70.7 s) vs 172.6 s region-partitioned
+        # under the old universal 8M constant
+        max_broadcast_intervals = _auto_iv_budget(spark)
     min_loc = _MIN_LOC[predicate]
     out_cols = list(columns) if columns is not None else \
         [c for c in points.columns]

@@ -162,9 +162,15 @@ def main():
                         "old_join_sec": old_join_sec,
                         "row_identical": identical})
 
+        from libgeodesk_spark.operators.spatial_join import _auto_iv_budget
+        budget = _auto_iv_budget(spark)
+        regime = ("region-partitioned"
+                  if int(stats["iv"]) > budget else "single-broadcast")
+        raw["auto_iv_budget"] = budget
+        raw["regime"] = regime
         md = f"""
 
-## {int(stats['n']):,}-zone catalog JOIN — Spark END-TO-END (r5)
+## {int(stats['n']):,}-zone catalog JOIN — Spark END-TO-END (r6)
 
 `join_zones_catalog`: {n_pts:,} points × {int(stats['n']):,} zones
 ({int(stats['iv']):,} intervals, {int(stats['edges']):,} edges). Prep →
@@ -174,8 +180,8 @@ parquet artifacts {prep_sec} s (128 executor slices); the join itself
 **{zmeta_rows + cell_rows} metadata rows** (per-zoom aggregates +
 per-region-cell stats) — intervals broadcast as a DataFrame
 (JVM BroadcastExchange), edge blobs cogrouped to the boundary band on
-executors. Region partitioning {'ACTIVE' if int(stats['iv']) > 8_000_000 else 'inactive'}
-(budget 8M intervals/region).
+executors. Regime: {regime} (auto interval budget {budget:,} from
+executor memory — VERDICT r5 #4).
 """
         if compare:
             md += f"""
