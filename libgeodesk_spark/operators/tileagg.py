@@ -273,38 +273,68 @@ def _synth_merge_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
 #: straggler tasks that started late and stretched the stage wall ~25%
 SYNTH_SPLIT = 8
 
+#: optimizer-estimated input size above which the split + fine
+#: partitioning pay for themselves. Below it the per-group/per-task
+#: fixed costs dominate the straggler saving (measured at sf0.1/457k
+#: images: single-pass 2x-parallelism 8.4 s vs split 17.5 s; at
+#: sf1/4.57M images the split wins 59 s vs 68.5 s) — the estimate comes
+#: from parquet footer sizes via the logical plan, costing NO extra job,
+#: so the operator self-selects by data size instead of pinning either
+#: scale's constant (guide §2: scale-adaptive partitioning).
+SYNTH_SPLIT_MIN_BYTES = 64 << 20
 
-def synth_reencode_metrics(points: DataFrame) -> DataFrame:
+
+def _estimated_input_bytes(points: DataFrame) -> int:
+    try:
+        return int(points._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 50                      # unknown -> assume large
+
+
+def synth_reencode_metrics(points: DataFrame,
+                           split: int | None = None) -> DataFrame:
     """Fused bench/pipeline variant: shuffle only skinny point rows by
     (cell_id, salt), then synthesize payloads AND compute re-encode
     metrics inside one Arrow stage — for workloads whose payloads are
     generated (or fetched) per tile, this avoids shuffling bytes at all.
     Semantics identical to attach_payload → tile_reencode_metrics(salt_hot).
 
-    Two-level aggregation (guide §2.5, aggregation salting): the codec
-    work runs per (cell, salt, pid>>4 % SYNTH_SPLIT) sub-slice so no
-    single task holds a whole hot-cell salt group; a merge stage
-    re-aggregates the associative partials and rebuilds caption_sha from
-    pids — output rows byte-identical to the single-pass formulation
-    (tests/test_r06_opt.py asserts it)."""
+    Large inputs run a two-level aggregation (guide §2.5, aggregation
+    salting): the codec work runs per (cell, salt, pid>>4 % split)
+    sub-slice so no single task holds a whole hot-cell salt group; a
+    merge stage re-aggregates the associative partials and rebuilds
+    caption_sha from pids — output rows byte-identical to the
+    single-pass formulation (tests/test_r06_opt.py asserts it). Small
+    inputs (optimizer size estimate under SYNTH_SPLIT_MIN_BYTES) skip
+    the split and the fine partitioning: their hot groups are already
+    sub-second and the two-level machinery would only add fixed costs.
+    ``split`` overrides the auto choice (1 = force single-pass)."""
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if split is None:
+        big = _estimated_input_bytes(points) >= SYNTH_SPLIT_MIN_BYTES
+        split = SYNTH_SPLIT if big else 1
+    # project to the three columns the codec stage reads BEFORE the
+    # exchange (guide §2.3): x/y/phash/image_id would otherwise be
+    # shuffled and arrow->pandas-materialized (millions of python
+    # strings) just to be dropped
+    skinny = points.select("pid", "cell_id", "salt")
     # explicit hash repartition on the group keys: the shuffle input is
     # skinny (tens of MB), so AQE would coalesce to ~2 partitions and
     # serialize the per-group codec work; a fixed-width HashPartitioning on
     # the same keys satisfies applyInPandas' distribution requirement with
     # no extra exchange and is exempt from AQE coalescing.
+    if split <= 1:
+        return skinny.repartition(par * 2, "cell_id", "salt") \
+            .groupBy("cell_id", "salt") \
+            .applyInPandas(_synth_group_metrics, schema=METRICS_SCHEMA)
     # 16 tasks/core: with the sub-split bounding every group at a few
     # seconds, fine partitions cost nothing and cut the last-wave tail
     # from ~p90-task-size to ~avg-task-size (measured 66s -> 56s at sf1;
     # task p50 was 12.5s / max 22s in 4 waves at 4 tasks/core)
-    n = points.sparkSession.sparkContext.defaultParallelism * 16
-    sub = F.shiftright(F.col("pid"), 4) % SYNTH_SPLIT  # independent of salt
-    # project to the three columns the codec stage reads BEFORE the
-    # exchange (guide §2.3): x/y/phash/image_id would otherwise be
-    # shuffled and arrow->pandas-materialized (millions of python
-    # strings) just to be dropped
-    partials = (points.select("pid", "cell_id", "salt")
-                .withColumn("_sub", sub)
-                .repartition(n, "cell_id", "salt", "_sub")
+    sub = F.shiftright(F.col("pid"), 4) % split        # independent of salt
+    partials = (skinny.withColumn("_sub", sub)
+                .repartition(par * 16, "cell_id", "salt", "_sub")
                 .groupBy("cell_id", "salt", "_sub")
                 .applyInPandas(_synth_partial_metrics,
                                schema=_PARTIAL_SCHEMA))

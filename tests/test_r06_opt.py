@@ -241,7 +241,9 @@ class TestSynthSplitMerge:
         )
         from libgeodesk_spark.sources.points import derived_points
         pts = derived_points(spark, sf_dir)
-        split = synth_reencode_metrics(pts).toPandas() \
+        # force the split regime (the auto heuristic would pick
+        # single-pass at gate scale, which is the comparison baseline)
+        split = synth_reencode_metrics(pts, split=8).toPandas() \
             .sort_values(["cell_id", "fmt", "caption_sha"]).reset_index(drop=True)
         single = (pts.repartition(8, "cell_id", "salt")
                   .groupBy("cell_id", "salt")
