@@ -137,9 +137,71 @@ int png_head(const uint8_t *b, uint64_t n, uint32_t *meta)
     return 0;
 }
 
+/* reverse PNG §9 scanline filtering in place over the scanline buffer
+   (rows keep their leading filter byte; reconstructed bytes overwrite
+   the filtered ones). uint8 wraparound arithmetic == the spec's mod-256.
+   rc 0 ok; -3 on a filter type > 4 (pure path raises the canonical
+   error). */
+static int defilter(uint8_t *tmp, uint32_t w, uint32_t h, int bpp)
+{
+    uint64_t stride = (uint64_t)w * bpp;
+    for (uint32_t y = 0; y < h; y++) {
+        uint8_t *row = tmp + (uint64_t)y * (stride + 1);
+        uint8_t ft = row[0];
+        uint8_t *cur = row + 1;
+        const uint8_t *pri = y ? row - stride : (const uint8_t *)0;
+        uint64_t x;
+        switch (ft) {
+        case 0:
+            break;
+        case 1:                                   /* Sub */
+            for (x = bpp; x < stride; x++) cur[x] += cur[x - bpp];
+            break;
+        case 2:                                   /* Up */
+            if (pri) for (x = 0; x < stride; x++) cur[x] += pri[x];
+            break;
+        case 3:                                   /* Average */
+            if (pri) {
+                for (x = 0; x < (uint64_t)bpp && x < stride; x++)
+                    cur[x] += (uint8_t)(pri[x] >> 1);
+                for (x = bpp; x < stride; x++)
+                    cur[x] += (uint8_t)(((unsigned)cur[x - bpp]
+                                         + pri[x]) >> 1);
+            } else {
+                for (x = bpp; x < stride; x++)
+                    cur[x] += (uint8_t)(cur[x - bpp] >> 1);
+            }
+            break;
+        case 4:                                   /* Paeth */
+            if (pri) {
+                for (x = 0; x < (uint64_t)bpp && x < stride; x++)
+                    cur[x] += pri[x];
+                for (x = bpp; x < stride; x++) {
+                    int a = cur[x - bpp], b2 = pri[x], c = pri[x - bpp];
+                    int p = a + b2 - c;
+                    int pa = p >= a ? p - a : a - p;
+                    int pb = p >= b2 ? p - b2 : b2 - p;
+                    int pc = p >= c ? p - c : c - p;
+                    cur[x] += (uint8_t)((pa <= pb && pa <= pc)
+                                        ? a : (pb <= pc ? b2 : c));
+                }
+            } else {
+                /* y = 0: b = c = 0 -> predictor is the left pixel */
+                for (x = bpp; x < stride; x++) cur[x] += cur[x - bpp];
+            }
+            break;
+        default:
+            return -3;
+        }
+    }
+    return 0;
+}
+
 /* rc 0 ok; <0: caller falls back to the pure decoder (which re-verifies
    and raises the canonical error). CRCs are verified chunk by chunk
-   exactly like the pure path before any byte is trusted. */
+   exactly like the pure path before any byte is trusted. All five
+   PNG §9 filter types are reconstructed in C (r6: previously only
+   filter-0 streams took this path). */
 int png_decode_f0(const uint8_t *b, uint64_t n, uint8_t *pix,
                   uint64_t pixcap, uint8_t *tmp, uint64_t tmpcap)
 {
@@ -189,8 +251,10 @@ int png_decode_f0(const uint8_t *b, uint64_t n, uint8_t *pix,
         }
     }
     inflateEnd(&zs);
-    for (uint32_t y = 0; y < h; y++)
-        if (tmp[(uint64_t)y * (stride + 1)]) return -3;   /* filtered rows */
+    {
+        int frc = defilter(tmp, w, h, bpp);
+        if (frc) return frc;
+    }
     if (bpp == 3) {
         for (uint32_t y = 0; y < h; y++)
             memcpy(pix + (uint64_t)y * stride,

@@ -180,6 +180,54 @@ def _reference_group_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in METRICS_SCHEMA.fields])
 
 
+def _whole_png(px: np.ndarray, ftypes, bpp: int) -> bytes:
+    """A complete PNG (color type 2/6) whose scanlines use ``ftypes``."""
+    import struct
+    import zlib
+    h, w = px.shape[:2]
+    raw = _forward_filter(px, ftypes, bpp)
+
+    def chunk(t, pl):
+        return (struct.pack(">I", len(pl)) + t + pl
+                + struct.pack(">I", zlib.crc32(pl, zlib.crc32(t)) & 0xFFFFFFFF))
+
+    color = 6 if bpp == 4 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (codec.PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+class TestFastcodecKernel:
+    def test_kernel_loads_here(self):
+        """The sandbox has cc + libz; a silent build failure would drop
+        the engine to the pure path unnoticed — fail loudly instead."""
+        import os
+        import shutil
+        if os.environ.get("LIBGEODESK_NO_FASTCODEC"):
+            pytest.skip("kernel explicitly disabled via env")
+        if shutil.which("cc") is None:
+            pytest.skip("no C compiler on this host")
+        assert codec._fc() is not None
+
+    @pytest.mark.parametrize("bpp", [3, 4])
+    def test_filtered_png_decode_c_equals_pure(self, bpp):
+        """codec.decode routes filtered external PNGs through the C
+        defilter when the kernel is loaded; pure path is the reference."""
+        from libgeodesk_spark.media import codec as c
+        rng = np.random.default_rng(606 + bpp)
+        for _ in range(6):
+            h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+            px = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+            fts = rng.integers(0, 5, size=h).tolist()
+            blob = _whole_png(px, fts, bpp)
+            got, fmt = c.decode(blob)
+            assert fmt == "png"
+            want = px[:, :, :3] if bpp == 4 else px
+            assert np.array_equal(got, want), (h, w, bpp, fts[:6])
+            # pure path agrees
+            assert np.array_equal(c.decode_png(blob), want)
+
+
 class TestAdviceR5Fixes:
     def test_bmp_zero_width_raises(self):
         px = codec.synth_pixels(5, 16, 16)
