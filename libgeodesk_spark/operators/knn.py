@@ -427,20 +427,25 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
     # the coarse map sees sparse regions the fine map reads as empty.
     # min() errs toward starting finer, whose cost is a few near-empty
     # extra rounds, never a quadratic join.
-    def _density_rstart(cshift: int):
+    def _add_density(df, cshift: int):
+        """LEFT-join the per-cell count map at ``cshift`` onto ``df`` and
+        append its log2-radius estimate as ``lg{cshift}``. Chained calls
+        (r6) replace the old fine-frame × coarse-frame join on id_a —
+        that was a SortMergeJoin of two full query-side frames; chaining
+        keeps every join query-side × (small, aggregated) count map."""
         counts = b_base.groupBy(
             F.shiftright(F.col("bx"), cshift).alias("cx"),
             F.shiftright(F.col("by"), cshift).alias("cy")).count()
         est = F.lit(1 << cshift) * F.sqrt(
             F.lit(float(kk + 1)) / F.col("count"))
-        joined = pending.join(
+        cols = list(df.columns)
+        return (df.join(
             counts,
             (F.shiftright(F.col("ax"), cshift) == F.col("cx"))
             & (F.shiftright(F.col("ay"), cshift) == F.col("cy")), "left")
-        return joined.select(
-            "id_a", "ax", "ay",
-            F.coalesce(F.floor(F.log2(est)).cast("int"),
-                       F.lit(32)).alias(f"lg{cshift}"))
+            .select(*cols,
+                    F.coalesce(F.floor(F.log2(est)).cast("int"),
+                               F.lit(32)).alias(f"lg{cshift}")))
     coarse_shift = 32 - mercator.MAX_ZOOM            # zoom-12 cells
     fine_shift = shift0 + 6                          # ~g0*64 cells
     # salt gate (VERDICT r5 #2): one tiny aggregate over the cached
@@ -451,14 +456,11 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
         F.shiftright(F.col("by"), fine_shift)).count() \
         .agg(F.max("count")).first()[0]
     salt_on = bool(max_fine_cell and max_fine_cell >= KNN_SALT_MIN_CELL)
-    fine = _density_rstart(fine_shift)
-    coarse = _density_rstart(coarse_shift).select(
-        "id_a", f"lg{coarse_shift}")
     start_round = F.greatest(
         F.lit(0),
         (F.least(F.col(f"lg{fine_shift}"), F.col(f"lg{coarse_shift}"))
          - F.lit(shift0 + 1)).cast("int"))
-    pending = (fine.join(coarse, "id_a")
+    pending = (_add_density(_add_density(pending, fine_shift), coarse_shift)
                .select("id_a", "ax", "ay", start_round.alias("rstart"))
                .localCheckpoint(eager=True))
 
@@ -532,20 +534,28 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
         else:
             cand = cand.drop("hx", "hy")
         w = Window.partitionBy("id_a").orderBy("d2", "id_b")
-        # ONE materialization per round: stats, the resolved slice, and
-        # the anti-join all reuse the checkpointed top-k instead of each
-        # re-running the join+windows (4x fewer heavy computations)
-        topk = cand.withColumn("rank", F.row_number().over(w)) \
-            .filter(F.col("rank") <= kk).localCheckpoint(eager=True)
-        stats = topk.groupBy("id_a").agg(
-            F.count("*").alias("cnt"), F.max("d2").alias("dk2"))
+        wp = Window.partitionBy("id_a")
+        # ONE materialization per round. The per-query resolution stats
+        # (cnt, dk2) ride the SAME window partitioning that ranks the
+        # top-k — no extra exchange, and (r6) the resolved slice becomes
+        # a FILTER on the checkpointed top-k instead of a per-round
+        # topk ⋈ done_ids join (the static plan's SortMergeJoins, which
+        # AQE did not rewrite even at gate scale, are gone outright).
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .withColumn("cnt", F.count(
+                    F.when(F.col("rank") <= kk, F.lit(1))).over(wp))
+                .withColumn("dk2", F.max(
+                    F.when(F.col("rank") <= kk, F.col("d2"))).over(wp))
+                .filter(F.col("rank") <= kk)
+                .localCheckpoint(eager=True))
         done_cond = (F.col("cnt") == kk) & (F.col("dk2") <= F.lit(g * g)) \
             if not world_done else F.lit(True)
-        done_ids = stats.filter(done_cond).select("id_a")
-        resolved_parts.append(topk.join(done_ids, "id_a"))
+        resolved_parts.append(
+            topk.filter(done_cond).drop("cnt", "dk2"))
         if world_done:
             active = None         # 3x3 covered everything: all resolved
             break
+        done_ids = topk.filter(done_cond).select("id_a")
         active = active.join(done_ids, "id_a", "left_anti") \
             .localCheckpoint(eager=True)
         if verbose:
