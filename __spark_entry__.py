@@ -861,10 +861,11 @@ def _q_emb_near_dup(spark, sf_dir):
     from libgeodesk_spark.operators.ann import _quantized, quantized_sq_l2_pre
     r = int(math.isqrt(EMB_NEAR_D2))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    base = emb.select(
-        F.col("vec_id"), _quantized(F.col("embedding")).alias("q"),
-        F.floor(F.element_at(_quantized(F.col("embedding")), 1)
-                / F.lit(r)).cast("long").alias("bk"))
+    base = emb.select(F.col("vec_id"),
+                      _quantized(F.col("embedding")).alias("q")) \
+        .select("vec_id", "q",
+                F.floor(F.element_at(F.col("q"), 1)
+                        / F.lit(r)).cast("long").alias("bk"))
     a = base.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"),
                     F.col("bk"))
     b = base.select(

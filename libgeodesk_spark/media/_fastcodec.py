@@ -396,14 +396,22 @@ def _build_so() -> str:
     so = os.path.join(cachedir, f"libgeodesk_fastcodec_{tag}.so")
     if os.path.exists(so):
         return so
-    src = os.path.join(cachedir, f"libgeodesk_fastcodec_{tag}.c")
+    # pid-suffixed source too: a shared source path could be truncated
+    # by one racing worker while another's compiler is mid-read
+    src = os.path.join(cachedir, f"libgeodesk_fastcodec_{tag}.{os.getpid()}.c")
     tmp_so = f"{so}.tmp{os.getpid()}"
     with open(src, "w") as f:
         f.write(C_SOURCE)
     cc = os.environ.get("CC", "cc")
-    subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", tmp_so, src, "-lz"],
-                   check=True, capture_output=True, timeout=120)
-    os.replace(tmp_so, so)                       # atomic vs racing workers
+    try:
+        subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", tmp_so, src,
+                        "-lz"], check=True, capture_output=True, timeout=120)
+        os.replace(tmp_so, so)                   # atomic vs racing workers
+    finally:
+        try:
+            os.unlink(src)
+        except OSError:
+            pass
     return so
 
 

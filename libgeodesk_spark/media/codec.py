@@ -428,7 +428,7 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), "png"
     if magic == MAGIC_JPG:
         w, h, _q = struct.unpack("<HHB", bytes(data[4:9]))
-        if lib is not None and w and h:
+        if (lib is not None and 0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
             px = np.empty((h, w, 3), dtype=np.uint8)
             if lib.fjpg_decode(data, len(data), px.ctypes.data,
                                px.size) == 0:

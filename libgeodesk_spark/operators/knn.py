@@ -312,10 +312,11 @@ KNN_W1_SALT = 16
 
 #: the salted pre-top-k only pays for itself when some grid cell could
 #: feed one (query, cell) window partition a huge single-task sort;
-#: below this many points in the densest fine-density cell the salt is
-#: pure overhead (measured +5% on the megacity fixture where it IS
-#: needed — VERDICT r5 #2 asked for the gate) and knn_join skips it.
-#: 32k rows sort in ~30 ms — harmless unsalted.
+#: below this many points in the densest COARSE (zoom-12) cell — an
+#: upper bound on every finer grid's max — the salt is pure overhead
+#: (measured +5% on the megacity fixture where it IS needed — VERDICT
+#: r5 #2 asked for the gate) and knn_join skips it. 32k rows sort in
+#: ~30 ms — harmless unsalted.
 KNN_SALT_MIN_CELL = 32_768
 
 
@@ -450,12 +451,18 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
     fine_shift = shift0 + 6                          # ~g0*64 cells
     # salt gate (VERDICT r5 #2): one tiny aggregate over the cached
     # candidate side decides whether any cell is dense enough for the
-    # salted pre-top-k to matter; unskewed corpora skip the extra window
-    max_fine_cell = b_base.groupBy(
-        F.shiftright(F.col("bx"), fine_shift),
-        F.shiftright(F.col("by"), fine_shift)).count() \
+    # salted pre-top-k to matter; unskewed corpora skip the extra
+    # window. Density is measured at the COARSE (zoom-12) grid, not the
+    # fine one: coarse cells contain fine cells, so their max count
+    # upper-bounds every fine max, and the single-task sorts the salt
+    # protects against happen at the coarse LATE rounds — an
+    # aggregate-dense region whose individual fine cells are small
+    # still trips the gate (review r6).
+    max_coarse_cell = b_base.groupBy(
+        F.shiftright(F.col("bx"), 32 - mercator.MAX_ZOOM),
+        F.shiftright(F.col("by"), 32 - mercator.MAX_ZOOM)).count() \
         .agg(F.max("count")).first()[0]
-    salt_on = bool(max_fine_cell and max_fine_cell >= KNN_SALT_MIN_CELL)
+    salt_on = bool(max_coarse_cell and max_coarse_cell >= KNN_SALT_MIN_CELL)
     start_round = F.greatest(
         F.lit(0),
         (F.least(F.col(f"lg{fine_shift}"), F.col(f"lg{coarse_shift}"))
@@ -550,13 +557,12 @@ def knn_join(points: DataFrame, k: int, id_col: str = "pid",
                 .localCheckpoint(eager=True))
         done_cond = (F.col("cnt") == kk) & (F.col("dk2") <= F.lit(g * g)) \
             if not world_done else F.lit(True)
-        resolved_parts.append(
-            topk.filter(done_cond).drop("cnt", "dk2"))
+        resolved = topk.filter(done_cond)
+        resolved_parts.append(resolved.drop("cnt", "dk2"))
         if world_done:
             active = None         # 3x3 covered everything: all resolved
             break
-        done_ids = topk.filter(done_cond).select("id_a")
-        active = active.join(done_ids, "id_a", "left_anti") \
+        active = active.join(resolved.select("id_a"), "id_a", "left_anti") \
             .localCheckpoint(eager=True)
         if verbose:
             import time as _t

@@ -496,26 +496,41 @@ _IV_RELATION_BYTES = 48
 _IV_BUDGET_CEIL = 150_000_000
 
 
-def _auto_iv_budget(spark: SparkSession) -> int:
-    """Derive the interval-broadcast budget from executor memory: allow
-    the build relation ~25% of the heap at ~48 B/interval, floored at
-    the old conservative constant and capped under the broadcast hard
-    limits. In local mode the driver heap IS the executor heap."""
-    local = spark.conf.get("spark.master", "").startswith("local")
-    key = "spark.driver.memory" if local else "spark.executor.memory"
-    try:
-        txt = spark.conf.get(key, "1g") or "1g"
-    except Exception:
-        txt = "1g"
+def _parse_mem(txt: str) -> int:
+    """Spark memory string -> bytes ('8g', '512m', '8gb', bare bytes);
+    1 GiB on anything unparsable (the conservative floor)."""
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    txt = txt.strip().lower()
+    txt = (txt or "1g").strip().lower()
+    if txt.endswith("b") and len(txt) > 1 and txt[-2] in units:
+        txt = txt[:-1]                       # Spark accepts 'gb'/'mb' too
     try:
-        if txt[-1] in units:
-            heap = int(float(txt[:-1]) * units[txt[-1]])
-        else:
-            heap = int(txt)
+        if txt and txt[-1] in units:
+            return int(float(txt[:-1]) * units[txt[-1]])
+        return int(txt)
     except (ValueError, IndexError):
-        heap = 1 << 30
+        return 1 << 30
+
+
+def _auto_iv_budget(spark: SparkSession) -> int:
+    """Derive the interval-broadcast budget from memory: allow the build
+    relation ~25% of the SMALLEST heap that must hold it at
+    ~48 B/interval, floored at the old conservative constant and capped
+    under the broadcast hard limits. A broadcast relation is built on
+    the DRIVER and shipped to every executor, so both heaps bound it;
+    in local mode they are the same JVM."""
+    try:
+        driver = _parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+    except Exception:
+        driver = 1 << 30
+    if spark.conf.get("spark.master", "").startswith("local"):
+        heap = driver
+    else:
+        try:
+            executor = _parse_mem(
+                spark.conf.get("spark.executor.memory", "1g"))
+        except Exception:
+            executor = 1 << 30
+        heap = min(driver, executor)
     budget = int(heap * 0.25 / _IV_RELATION_BYTES)
     return max(CATALOG_IV_BUDGET, min(budget, _IV_BUDGET_CEIL))
 
